@@ -1,0 +1,109 @@
+"""The dating model: prior, likelihood, and posterior composition.
+
+TPU-native analog of app/Probability.hs: every term is a pure jittable log
+density on the flat state; the composed posterior vmaps over chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import birth_death, clocks, heights as H, mvn, node_priors
+from ..ops.dists import exponential_logpdf, gamma_logpdf
+from ..tree.flat import FlatTopology
+from .state import State
+
+
+@dataclass(frozen=True)
+class DatingModel:
+    """Static model description closed over by the jitted densities.
+
+    Mirrors the data assembled by ``getMcmcProps`` (app/Main.hs:370-457).
+    """
+
+    topo: FlatTopology
+    likelihood: mvn.LikelihoodData
+    clock: str = clocks.UNCORRELATED_GAMMA
+    calibrations: node_priors.CalibrationSet = field(
+        default_factory=node_priors.CalibrationSet.empty
+    )
+    constraints: node_priors.ConstraintSet = field(
+        default_factory=node_priors.ConstraintSet.empty
+    )
+    braces: node_priors.BraceSet = field(default_factory=node_priors.BraceSet.empty)
+    # Initial, constant, approximate absolute tree height; mean of the root
+    # calibration when present, else 1 (app/Main.hs:394).
+    mean_root_height: float = 1.0
+
+    @property
+    def calibrations_available(self) -> bool:
+        return self.calibrations.n > 0
+
+    # -- prior components (each mirrors a monitor column, app/Monitor.hs) --
+
+    def log_prior_cal_con_brace(self, state: State):
+        return node_priors.calibrate_constrain_brace_log(
+            self.calibrations, self.constraints, self.braces, state.heights, state.height
+        )
+
+    def log_prior_birth_death(self, state: State):
+        """Birth-death on the relative time tree with Exp(1) hyper-priors on
+        the birth and death rates (app/Probability.hs:66-85)."""
+        lp_rates = exponential_logpdf(1.0, state.birth) + exponential_logpdf(
+            1.0, state.death
+        )
+        lp_tree = birth_death.birth_death_log(
+            state.heights,
+            jnp.asarray(self.topo.parent),
+            jnp.asarray(self.topo.is_leaf),
+            state.birth,
+            state.death,
+            1.0,
+        )
+        return lp_rates + lp_tree
+
+    def log_prior_relaxed_clock(self, state: State):
+        """Relaxed clock on the rate tree: Exp(mean_root_height) prior on the
+        rate mean, Gamma(3/2, 1/6) on the rate variance
+        (app/Probability.hs:96-124)."""
+        lp_mean = exponential_logpdf(self.mean_root_height, state.rate_mean)
+        lp_var = gamma_logpdf(1.5, 1.0 / 6.0, state.rate_var)
+        tl = H.branch_lengths(state.heights, jnp.asarray(self.topo.parent))
+        non_root = jnp.asarray(self.topo.parent >= 0)
+        lp_tree = clocks.relaxed_clock_log(
+            self.clock, state.rates, tl, non_root, 1.0, state.rate_var
+        )
+        return lp_mean + lp_var + lp_tree
+
+    def log_prior(self, state: State):
+        return (
+            self.log_prior_cal_con_brace(state)
+            + self.log_prior_birth_death(state)
+            + self.log_prior_relaxed_clock(state)
+        )
+
+    # -- likelihood ----------------------------------------------------
+
+    def log_likelihood(self, state: State):
+        if self.likelihood.kind == mvn.NONE:
+            return jnp.zeros(jnp.shape(state.height), state.height.dtype)
+        d = H.distances_from_state(state, self.topo)
+        f = mvn.make_log_likelihood(self.likelihood, dtype=state.heights.dtype)
+        return f(d)
+
+    # -- posterior -----------------------------------------------------
+
+    def log_posterior(self, state: State, beta=1.0):
+        """Tempered log posterior; ``beta`` powers the likelihood (MC3 /
+        stepping-stone)."""
+        lp = self.log_prior(state)
+        ll = self.log_likelihood(state)
+        out = lp + beta * ll
+        return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    def log_posterior_parts(self, state: State):
+        return self.log_prior(state), self.log_likelihood(state)

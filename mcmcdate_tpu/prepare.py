@@ -1,0 +1,192 @@
+"""The ``prepare`` pipeline: posterior tree list -> likelihood data + mean tree.
+
+Re-implements app/Main.hs:159-307 on the host (NumPy/LAPACK):
+
+1. read the posterior tree list (gzip-transparent), drop 1/6 burn-in;
+2. check for duplicate leaves;
+3. re-root every tree at the outgroup given by the rooted tree's bipartition;
+4. check topology equality (tree list: topology AND sub-tree order must
+   match; rooted tree: topology up to order);
+5. branch matrix with the two root branches merged; posterior mean and
+   covariance; inverse + log-determinant;
+6. full / sparse (graphical lasso) / univariate / no-likelihood variants;
+7. write ``<name>.data`` (reference-compatible JSON) and ``<name>.meantree``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .io.lhdata import dense_to_assoc, save_data
+from .ops import mvn
+from .tree.flat import FlatTopology
+from .tree.rose import (
+    Node,
+    assign_indices,
+    bipartition,
+    duplicate_leaves,
+    outgroup,
+    read_many_newick,
+    read_one_newick,
+    write_newick,
+)
+from .utils import glasso as G
+
+
+@dataclass
+class PrepareResult:
+    data: mvn.LikelihoodData
+    mean_tree: Node
+    n_trees_used: int
+
+
+def data_file(analysis_name: str) -> str:
+    return analysis_name + ".data"
+
+
+def mean_tree_file(analysis_name: str) -> str:
+    return analysis_name + ".meantree"
+
+
+def _branch_matrix(trees: List[Node], order: np.ndarray) -> np.ndarray:
+    """Rows: per-tree branch lengths in reference branch order (no stem)."""
+    rows = np.empty((len(trees), len(order)), dtype=np.float64)
+    for k, t in enumerate(trees):
+        lens = np.fromiter((n.length for n in t.preorder()), dtype=np.float64)
+        rows[k] = lens[order]
+    return rows
+
+
+def _branch_matrix_all(trees: List[Node]) -> np.ndarray:
+    """Rows: per-tree branch lengths of ALL nodes in pre-order (incl. stem),
+    used for the mean tree (``getPosteriorMatrix``, app/Main.hs:107-108)."""
+    n = trees[0].n_nodes()
+    rows = np.empty((len(trees), n), dtype=np.float64)
+    for k, t in enumerate(trees):
+        rows[k] = np.fromiter((nd.length for nd in t.preorder()), dtype=np.float64)
+    return rows
+
+
+def prepare(
+    analysis_name: str,
+    rooted_tree_file: str,
+    trees_file: str,
+    likelihood_spec: str,
+    *,
+    sparse_rho: float = 0.1,
+    out_dir: str = ".",
+    log=print,
+) -> PrepareResult:
+    log("Read trees.")
+    trees_all = read_many_newick(trees_file)
+    n_trees = len(trees_all)
+    log(f"{n_trees} trees read.")
+    if n_trees == 0:
+        raise ValueError("prepare: No trees found.")
+
+    n_burn_in = n_trees // 6
+    log(f"Skip a burn in of {n_burn_in} trees.")
+    trees = trees_all[n_burn_in:]
+
+    log("Check if trees have unique leaves.")
+    if any(duplicate_leaves(t) for t in trees_all):
+        raise ValueError("prepare: Trees have duplicate leaves.")
+
+    log("Read rooted tree.")
+    tree_rooted = read_one_newick(rooted_tree_file)
+
+    log("Root the trees at the same point as the given rooted tree.")
+    og, _ = bipartition(tree_rooted)
+    trees_rooted = [outgroup(t, og) for t in trees]
+
+    log("Check if topologies of the trees in the tree list are equal "
+        "(topology AND sub tree orders need to match).")
+    keys = {t.topology_key_ordered() for t in trees_rooted}
+    if len(keys) != 1:
+        raise ValueError(
+            "prepare: A single topology and equal sub tree orders are required."
+        )
+
+    log("Check the topology of the rooted tree (sub tree orders may differ).")
+    if tree_rooted.topology_key_unordered() != trees_rooted[0].topology_key_unordered():
+        raise ValueError("prepare: A single topology is required.")
+
+    topo = FlatTopology.from_tree(trees_rooted[0])
+    order = topo.ref_branch_order
+    pm_r = _branch_matrix(trees_rooted, order)
+    # Merge the two root branches (sumFirstTwo).
+    pm_r = np.concatenate([pm_r[:, :1] + pm_r[:, 1:2], pm_r[:, 2:]], axis=1)
+
+    mu = pm_r.mean(axis=0)
+    sigma = np.cov(pm_r, rowvar=False)
+    log(f"Number of branches: {len(mu)}.")
+    variances = np.diag(sigma)
+    min_var = variances.min()
+    log(f"Minimum mean branch length: {mu.min()}")
+    log(f"Maximum mean branch length: {mu.max()}")
+    log(f"Minimum variance: {min_var}")
+    log(f"Maximum variance: {variances.max()}")
+    if min_var <= 0:
+        raise ValueError("prepare: Minimum variance is zero or negative.")
+
+    log("Prepare the covariance matrix for phylogenetic likelihood calculation.")
+    sign, log_det_sigma = np.linalg.slogdet(sigma)
+    if sign <= 0:
+        raise ValueError("prepare: Determinant of covariance matrix is negative?")
+    sigma_inv = np.linalg.inv(sigma)
+    log(f"The logarithm of the determinant of the covariance matrix is: {log_det_sigma}")
+
+    if likelihood_spec == mvn.FULL:
+        log("Use full covariance matrix.")
+        data = mvn.LikelihoodData.full(mu, sigma_inv, log_det_sigma)
+    elif likelihood_spec == mvn.SPARSE:
+        log("Use a sparse covariance/precision matrix (graphical lasso).")
+        log(f"Use a (provided) penalty parameter of: {sparse_rho}.")
+        mu_s, sd_s, xs_norm = G.scale_data(pm_r)
+        corr = np.cov(xs_norm, rowvar=False)
+        sigma_norm_sparse, prec_norm_sparse = G.graphical_lasso(corr, sparse_rho)
+        sigma_sparse = G.rescale_cov(sd_s, sigma_norm_sparse)
+        prec_sparse = G.rescale_precision(sd_s, prec_norm_sparse)
+        sign_s, log_det_s = np.linalg.slogdet(sigma_sparse)
+        if sign_s <= 0:
+            raise ValueError("prepare: Determinant of sparse covariance matrix is negative?")
+        assoc = dense_to_assoc(prec_sparse)
+        n_full = prec_sparse.size
+        log(f"Number of elements of full matrix: {n_full}")
+        log(f"Number of elements of sparse matrix: {len(assoc)}")
+        log(f"Proportion of elements kept: {len(assoc) / n_full}")
+        prec_dense = np.zeros_like(prec_sparse)
+        for (i, j), v in assoc:
+            prec_dense[i, j] = v
+        data = mvn.LikelihoodData.sparse(mu_s, prec_dense, log_det_s, assoc=assoc)
+    elif likelihood_spec == mvn.UNIVARIATE:
+        log("Use univariate normal distributions.")
+        data = mvn.LikelihoodData.univariate(mu, variances)
+    elif likelihood_spec == mvn.NONE:
+        log("Do not use the phylogenetic likelihood. Only estimate the prior.")
+        data = mvn.LikelihoodData.none()
+    else:
+        raise ValueError(f"prepare: Unknown likelihood spec {likelihood_spec!r}.")
+
+    import os
+
+    data_path = os.path.join(out_dir, data_file(analysis_name))
+    log(f"Save the posterior means and (co)variances to {data_path}.")
+    save_data(data_path, data)
+
+    log("Prepare the rooted tree with mean branch lengths (used as initial state).")
+    # Use one of the rooted tree-list trees (the given rooted tree may have a
+    # different sub-tree order, app/Main.hs:289-291).
+    tree_r = trees_rooted[0].copy()
+    means_all = _branch_matrix_all(trees_rooted).mean(axis=0)
+    for nd, b in zip(tree_r.preorder(), means_all):
+        nd.length = float(b)
+    mean_tree = assign_indices(tree_r)
+    mt_path = os.path.join(out_dir, mean_tree_file(analysis_name))
+    log(f"Save the rooted tree with mean branch lengths to {mt_path}.")
+    with open(mt_path, "w") as fh:
+        fh.write(write_newick(mean_tree) + "\n")
+    return PrepareResult(data=data, mean_tree=mean_tree, n_trees_used=len(trees_rooted))
