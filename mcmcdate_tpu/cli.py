@@ -1,0 +1,355 @@
+"""Command-line interface: prepare / run / continue / marginal-likelihood.
+
+Mirrors the reference CLI (app/Options.hs): the same four sub-commands and
+flags, plus TPU-specific extras (``--chains``, ``--out-dir``, ``--dtype``).
+Likelihood specs and clock models accept both the reference's Haskell
+constructor spellings (``FullMultivariateNormal``,
+``SparseMultivariateNormal 0.1``, ``UnivariateNormal``, ``NoLikelihood``)
+and short names (``full``, ``sparse``, ``univariate``, ``none``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _parse_likelihood_spec(s: str) -> Tuple[str, float]:
+    from .ops import mvn
+
+    parts = s.strip().split()
+    head = parts[0].lower()
+    rho = float(parts[1]) if len(parts) > 1 else 0.1
+    table = {
+        "fullmultivariatenormal": mvn.FULL,
+        "full": mvn.FULL,
+        "sparsemultivariatenormal": mvn.SPARSE,
+        "sparse": mvn.SPARSE,
+        "univariatenormal": mvn.UNIVARIATE,
+        "univariate": mvn.UNIVARIATE,
+        "nolikelihood": mvn.NONE,
+        "none": mvn.NONE,
+    }
+    if head not in table:
+        raise SystemExit(f"Unknown likelihood spec: {s!r}")
+    return table[head], rho
+
+
+def _parse_clock(s: str) -> str:
+    from .ops import clocks
+
+    table = {m.lower(): m for m in (
+        clocks.UNCORRELATED_GAMMA,
+        clocks.UNCORRELATED_LOG_NORMAL,
+        clocks.UNCORRELATED_WHITE_NOISE,
+        clocks.AUTOCORRELATED_GAMMA,
+        clocks.AUTOCORRELATED_LOG_NORMAL,
+    )}
+    key = s.strip().lower()
+    if key not in table:
+        raise SystemExit(
+            f"Unknown relaxed molecular clock model: {s!r} "
+            f"(choose from {sorted(table.values())})"
+        )
+    return table[key]
+
+
+def _add_run_args(p: argparse.ArgumentParser):
+    p.add_argument("-a", "--analysis-name", required=True, metavar="NAME")
+    p.add_argument("--preparation-name", metavar="NAME",
+                   help="default: value of --analysis-name")
+    p.add_argument("--calibrations", metavar='"SPEC FILE"',
+                   help='either "csv FILE" or "tree FILE" (mind the quotes)')
+    p.add_argument("--ignore-problematic-calibrations", action="store_true")
+    p.add_argument("--constraints", metavar="FILE")
+    p.add_argument("--ignore-problematic-constraints", action="store_true")
+    p.add_argument("--braces", metavar="FILE")
+    p.add_argument("--init-from-save", metavar="ANALYSIS_NAME")
+    p.add_argument("--profile", action="store_true",
+                   help="shrink schedules for profiling")
+    p.add_argument("--hamiltonian", action="store_true",
+                   help="add the NUTS proposal to the cycle")
+    p.add_argument("--likelihood-spec", required=True, metavar="SPEC")
+    p.add_argument("--relaxed-molecular-clock", default="UncorrelatedGamma",
+                   metavar="MODEL")
+    p.add_argument("--seed", type=int, metavar="NUMBER")
+    p.add_argument("--mc3", action="store_true",
+                   help="use MC3 (parallel tempering) instead of MHG")
+    p.add_argument("--chains", type=int, default=4,
+                   help="vmapped independent chains (TPU extra; default 4)")
+    p.add_argument("--iterations", type=int,
+                   help="override the default iteration count")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="mcmcdate-tpu",
+        description="TPU-native Bayesian phylogenetic dating "
+        "(McmcDate capabilities, re-designed for JAX/XLA).",
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    p = sub.add_parser("prepare", help="approximate the posterior of branch lengths")
+    p.add_argument("-a", "--analysis-name", required=True, metavar="NAME")
+    p.add_argument("--rooted-tree", required=True, metavar="FILE")
+    p.add_argument("--trees", required=True, metavar="FILE")
+    p.add_argument("--likelihood-spec", required=True, metavar="SPEC")
+    p.add_argument("--out-dir", default=".")
+
+    p = sub.add_parser("run", help="run the MCMC sampler")
+    _add_run_args(p)
+
+    p = sub.add_parser("continue", help="continue a previous run")
+    _add_run_args(p)
+
+    p = sub.add_parser("marginal-likelihood",
+                       help="stepping-stone marginal likelihood")
+    _add_run_args(p)
+
+    p = sub.add_parser("simulate", help="generate a synthetic fixture (extra)")
+    p.add_argument("--leaves", type=int, default=6)
+    p.add_argument("--trees", type=int, default=600)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rate-var", type=float, default=0.0)
+    p.add_argument("--out", default="data")
+    return ap
+
+
+class Tee:
+    """Log to stdout and to the per-mode log file (app/Main.hs:545-566)."""
+
+    def __init__(self, path: str):
+        self.fh = open(path, "w", buffering=1)
+
+    def __call__(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg)
+        self.fh.write(msg + "\n")
+
+    def close(self):
+        self.fh.close()
+
+
+def _load_model(args, log):
+    """getMcmcProps equivalent (app/Main.hs:370-457): load the mean tree,
+    specs, and likelihood data; assemble the model and the initial state."""
+    import jax.numpy as jnp
+
+    from .io import lhdata
+    from .io.specs import (
+        load_braces_json,
+        load_calibrations_csv,
+        load_calibrations_tree,
+        load_constraints_csv,
+        mean_root_height,
+    )
+    from .models.dating import DatingModel
+    from .models.state import init_state
+    from .ops import mvn
+    from .ops.node_priors import BraceSet, CalibrationSet, ConstraintSet
+    from .prepare import data_file, mean_tree_file
+    from .tree import FlatTopology, read_one_newick
+
+    prep = args.preparation_name or args.analysis_name
+    mean_tree_path = os.path.join(args.out_dir, mean_tree_file(prep))
+    log(f"Read mean tree using preparation name: {prep}.")
+    tree = read_one_newick(mean_tree_path)
+    topo = FlatTopology.from_tree(tree)
+
+    cal = CalibrationSet.empty()
+    if args.calibrations:
+        parts = args.calibrations.split()
+        if len(parts) != 2 or parts[0] not in ("csv", "tree"):
+            raise SystemExit(
+                f'--calibrations expects "csv FILE" or "tree FILE", got {args.calibrations!r}'
+            )
+        kind, path = parts
+        log(f"Get calibrations using specifications: {kind} {path}.")
+        if kind == "csv":
+            cal = load_calibrations_csv(
+                path, tree, topo,
+                ignore_problematic=args.ignore_problematic_calibrations, log=log,
+            )
+        else:
+            cal = load_calibrations_tree(
+                path, tree, topo,
+                ignore_problematic=args.ignore_problematic_calibrations, log=log,
+            )
+    ht = mean_root_height(cal) or 1.0
+
+    con = ConstraintSet.empty()
+    if args.constraints:
+        log(f"Get constraints from: {args.constraints}.")
+        con = load_constraints_csv(
+            args.constraints, tree, topo,
+            ignore_problematic=args.ignore_problematic_constraints, log=log,
+        )
+    br = BraceSet.empty()
+    if args.braces:
+        log(f"Get braces from: {args.braces}.")
+        br = load_braces_json(args.braces, tree, topo, log=log)
+
+    spec, _ = _parse_likelihood_spec(args.likelihood_spec)
+    log("Initialize likelihood function.")
+    data = lhdata.load_data(os.path.join(args.out_dir, data_file(prep)))
+    if data.kind != spec:
+        raise SystemExit(
+            f"Likelihood specification ({spec}) and data ({data.kind}) do not match."
+        )
+
+    clock = _parse_clock(args.relaxed_molecular_clock)
+    model = DatingModel(
+        topo=topo,
+        likelihood=data,
+        clock=clock,
+        calibrations=cal,
+        constraints=con,
+        braces=br,
+        mean_root_height=ht,
+    )
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    init = init_state(tree, topo, dtype=dtype)
+    return model, init
+
+
+def _settings(args, continue_mode=False):
+    from .engine.chains import RunSettings
+    from .engine.mh import ITERATIONS, ITERATIONS_PROF, BurnInSettings
+
+    burn = BurnInSettings.profiling() if args.profile else BurnInSettings.default()
+    iters = args.iterations or (ITERATIONS_PROF if args.profile else ITERATIONS)
+    return RunSettings(
+        analysis_name=args.analysis_name,
+        burn_in=burn,
+        iterations=iters,
+        n_chains=args.chains,
+        out_dir=args.out_dir,
+        seed=args.seed,
+        dtype=args.dtype,
+    )
+
+
+def cmd_prepare(args):
+    from .prepare import prepare
+
+    spec, rho = _parse_likelihood_spec(args.likelihood_spec)
+    log = Tee(os.path.join(args.out_dir, args.analysis_name + ".prepare.log"))
+    try:
+        prepare(
+            args.analysis_name,
+            args.rooted_tree,
+            args.trees,
+            spec,
+            sparse_rho=rho,
+            out_dir=args.out_dir,
+            log=log,
+        )
+    finally:
+        log.close()
+
+
+def cmd_run(args):
+    from .engine import checkpoint as ckpt
+    from .engine.chains import run_analysis
+    from .engine.mc3 import run_mc3
+
+    log = Tee(os.path.join(args.out_dir, args.analysis_name + ".run.log"))
+    try:
+        model, init = _load_model(args, log)
+        settings = _settings(args)
+        init_from = None
+        if args.init_from_save:
+            log(f"Loading old state from save: {args.init_from_save}.")
+            state0, tuning0, _, meta = ckpt.load(
+                args.init_from_save, in_dir=args.out_dir
+            )
+            from .engine.proposals import build_proposal_table
+
+            table = build_proposal_table(
+                model.topo, model.braces, model.calibrations_available
+            )
+            same = meta.get("n_proposals") == table.n_proposals
+            log(
+                "Using tuning parameters from save."
+                if same
+                else "Cycle has changed, start with untuned proposals."
+            )
+            init_from = (state0, tuning0 if same else None, same)
+        if args.mc3:
+            run_mc3(model, init, settings, hamiltonian=args.hamiltonian, log=log)
+        else:
+            run_analysis(
+                model, init, settings, init_from=init_from,
+                hamiltonian=args.hamiltonian, log=log,
+            )
+    finally:
+        log.close()
+
+
+def cmd_continue(args):
+    from .engine import checkpoint as ckpt
+    from .engine.chains import run_analysis
+
+    log = Tee(os.path.join(args.out_dir, args.analysis_name + ".continue.log"))
+    try:
+        model, init = _load_model(args, log)
+        settings = _settings(args, continue_mode=True)
+        state, tuning, key, meta = ckpt.load(args.analysis_name, in_dir=args.out_dir)
+        log(f"Continuing from iteration {meta['iteration']}.")
+        run_analysis(
+            model, init, settings,
+            continue_from=(state, tuning, key, meta["iteration"]),
+            hamiltonian=args.hamiltonian, log=log,
+        )
+    finally:
+        log.close()
+
+
+def cmd_marginal_likelihood(args):
+    from .engine.stepping_stone import run_marginal_likelihood
+
+    log = Tee(os.path.join(args.out_dir, args.analysis_name + ".mlh.log"))
+    try:
+        model, init = _load_model(args, log)
+        settings = _settings(args)
+        run_marginal_likelihood(model, init, settings, profile=args.profile, log=log)
+    finally:
+        log.close()
+
+
+def cmd_simulate(args):
+    from .utils.simulate import simulate, write_fixture
+
+    sim = simulate(
+        n_leaves=args.leaves, n_trees=args.trees, seed=args.seed,
+        rate_var=args.rate_var,
+    )
+    write_fixture(sim, args.out)
+    print(f"Wrote {args.out}/time.tree and {args.out}/trees.nwk "
+          f"({args.trees} trees, {args.leaves} leaves).")
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    args = build_parser().parse_args(argv)
+    if args.mode == "prepare":
+        cmd_prepare(args)
+    elif args.mode == "run":
+        cmd_run(args)
+    elif args.mode == "continue":
+        cmd_continue(args)
+    elif args.mode == "marginal-likelihood":
+        cmd_marginal_likelihood(args)
+    elif args.mode == "simulate":
+        cmd_simulate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,10 +4,16 @@ Replaces the reference's external ``mcmc`` engine loop (SURVEY.md §2.4): per
 iteration, execute the weight-expanded proposal tickets in random order; the
 acceptance ratio is ``prior' * lik'^beta * q * J / (prior * lik^beta)``
 with the current posterior carried, so each proposal costs one posterior
-evaluation.  The whole sweep is a ``lax.scan`` over tickets with a
-``lax.switch`` over proposal kinds; chains vmap; burn-in runs windows with
-per-proposal acceptance-rate tuning between windows
-(BurnInWithCustomAutoTuning, app/Definitions.hs:420-430).
+evaluation.  Chains are a mandatory leading batch axis.
+
+TPU-critical design point: the ticket order is shuffled per sweep but SHARED
+across chains, so the ``lax.switch`` over proposal kinds has a scalar index
+and vmapping the kernels stays a single-branch program.  A per-chain shuffle
+would force XLA to evaluate all kinds for every ticket (measured: compile
+and runtime blow up by the number of kinds).  Chains remain independent:
+conditional on the (random) order sequence, each chain's kernel is a valid
+MCMC kernel for the target, and the order does not depend on any chain
+state.
 """
 
 from __future__ import annotations
@@ -26,119 +32,170 @@ from ..models.state import State
 from ..ops.heights import log_jacobian_root_branch
 from . import proposals as props
 
-TUNE_MIN = 1e-6
-TUNE_MAX = 1e6
+# Tuning parameter bounds.  The reference engine also clamps its per-proposal
+# tuning parameters; unbounded tuning is pathological for gamma-kernel scale
+# proposals (shape/t -> 0 makes the kernel spiky at 0/inf while acceptance
+# stays near 1/2, so t grows without limit).
+TUNE_MIN = 1e-3
+TUNE_MAX = 1e2
 
 
 @dataclass(frozen=True)
 class MHKernel:
-    """Compiled-once sweep kernel for a model + proposal table."""
+    """Sweep kernel for a model + proposal table.
+
+    All public entry points take a chain-batched state (leading axis C),
+    per-chain tuning ``[C, P]``, and per-chain acceptance counters.
+    """
 
     model: DatingModel
     table: props.ProposalTable
 
-    def _ticket_step(self, kernels, beta, dtype):
+    def _ticket_step(self, kernels, beta, dtype, beta_prior=1.0):
         topo = self.model.topo
-        kind = jnp.asarray(self.table.kind)
+        kind_arr = self.table.kind  # host, for uniform switch index
         node = jnp.asarray(self.table.node)
         aux = jnp.asarray(self.table.aux)
         par = jnp.asarray(self.table.par, dtype)
         root_jac = jnp.asarray(self.table.root_jac)
 
-        def step(carry, pidx):
-            state, lp_pr, lp_lik, tuning, acc, tot, key = carry
-            key, k_prop, k_acc = jax.random.split(key, 3)
-            t = tuning[pidx]
-            state_new, log_mhg = jax.lax.switch(
-                kind[pidx],
+        def apply_one(state, key, tune, pidx):
+            """Single-chain proposal application; vmapped over chains with a
+            SCALAR pidx so the switch stays one branch."""
+            return jax.lax.switch(
+                jnp.asarray(self.table.kind)[pidx],
                 kernels,
                 state,
-                k_prop,
-                t,
+                key,
+                tune,
                 node[pidx],
                 aux[pidx],
                 par[pidx],
             )
-            lp_pr2 = self.model.log_prior(state_new)
-            lp_lik2 = self.model.log_likelihood(state_new)
+
+        def step(carry, pidx):
+            batch, terms, y, tuning, acc, tot, keys = carry
+            keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+            keys = keys2[:, 0]
+            k_prop = keys2[:, 1]
+            k_acc = keys2[:, 2]
+            t = tuning[:, pidx]
+            state_new, log_mhg = jax.vmap(
+                lambda s, k, tu: apply_one(s, k, tu, pidx)
+            )(batch, k_prop, t)
+            terms2 = jax.vmap(self.model.log_prior_terms)(state_new)
+            y2 = jax.vmap(self.model.whitened_residual)(state_new)
+            # Per-term deltas: contributions untouched by the proposal are
+            # bitwise identical and cancel exactly (f32-safe acceptance).
+            d_terms = terms2 - terms
+            d_pr = jnp.sum(jnp.where(jnp.isnan(d_terms), 0.0, d_terms), axis=-1)
+            invalid_new = jnp.any(~jnp.isfinite(terms2) & ~jnp.isposinf(terms2), axis=-1)
+            d_pr = jnp.where(invalid_new, -jnp.inf, d_pr)
+            d_lik = -0.5 * jnp.sum((y2 - y) * (y2 + y), axis=-1)
             # jacobianRootBranch ratio for root-adjacent proposals
             # (app/Probability.hs:408-410; liftProposalWith semantics).
             lj = jnp.where(
                 root_jac[pidx],
-                log_jacobian_root_branch(state_new, topo)
-                - log_jacobian_root_branch(state, topo),
+                jax.vmap(lambda s: log_jacobian_root_branch(s, topo))(state_new)
+                - jax.vmap(lambda s: log_jacobian_root_branch(s, topo))(batch),
                 0.0,
             )
-            log_alpha = (lp_pr2 - lp_pr) + beta * (lp_lik2 - lp_lik) + log_mhg + lj
+            log_alpha = beta_prior * d_pr + beta * d_lik + log_mhg + lj
             log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
-            u = jax.random.uniform(k_acc, dtype=lp_pr.dtype)
+            u = jax.vmap(lambda k: jax.random.uniform(k, dtype=dtype))(k_acc)
             accept = jnp.log(u) < log_alpha
-            state = jax.tree.map(
-                lambda a, b: jnp.where(accept, a, b), state_new, state
-            )
-            lp_pr = jnp.where(accept, lp_pr2, lp_pr)
-            lp_lik = jnp.where(accept, lp_lik2, lp_lik)
-            acc = acc.at[pidx].add(accept.astype(acc.dtype))
-            tot = tot.at[pidx].add(1)
-            return (state, lp_pr, lp_lik, tuning, acc, tot, key), None
+
+            def sel(a, b):
+                acc_b = accept.reshape(accept.shape + (1,) * (a.ndim - 1))
+                return jnp.where(acc_b, a, b)
+
+            batch = jax.tree.map(sel, state_new, batch)
+            terms = sel(terms2, terms)
+            y = sel(y2, y)
+            acc = acc.at[:, pidx].add(accept.astype(acc.dtype))
+            tot = tot.at[:, pidx].add(1)
+            return (batch, terms, y, tuning, acc, tot, keys), None
 
         return step
 
-    def sweep(self, state: State, tuning, acc, tot, key, beta=1.0):
-        """One full sweep: all tickets in random order."""
-        kernels = props.make_kernel_switch(self.model.topo, self.model.braces)
-        step = self._ticket_step(kernels, beta, state.heights.dtype)
-        key, k_perm, k_scan = jax.random.split(key, 3)
-        tickets = jax.random.permutation(k_perm, jnp.asarray(self.table.tickets))
-        lp_pr = self.model.log_prior(state)
-        lp_lik = self.model.log_likelihood(state)
-        carry = (state, lp_pr, lp_lik, tuning, acc, tot, k_scan)
-        carry, _ = jax.lax.scan(step, carry, tickets)
-        state, lp_pr, lp_lik, _, acc, tot, _ = carry
-        return state, lp_pr, lp_lik, acc, tot
+    def sweeps(
+        self,
+        batch: State,
+        tuning,
+        key,
+        n: int,
+        beta=1.0,
+        beta_prior=1.0,
+        collect: Optional[Callable] = None,
+    ):
+        """``n`` sweeps under one jit for a chain batch.
 
-    def sweeps(self, state: State, tuning, key, n: int, beta=1.0, collect=None):
-        """``n`` sweeps under one jit; returns final state, acceptance
-        counters, and optionally per-sweep collected values.
-
-        ``collect(state, lp_pr, lp_lik) -> pytree`` is stacked per sweep.
+        ``key`` is a single PRNG key; per-chain streams are derived from it.
+        ``beta`` tempers the likelihood (scalar or per-chain vector; used by
+        stepping-stone sampling); ``beta_prior`` additionally tempers the
+        prior (MC3 heats the whole posterior).  ``collect(state, lp_pr,
+        lp_lik) -> pytree`` (single-chain) is vmapped and stacked per sweep.
+        Returns ``(batch, lp_pr, lp_lik, acc, tot, outs)``.
         """
+        C = batch.heights.shape[0]
+        dtype = batch.heights.dtype
         kernels = props.make_kernel_switch(self.model.topo, self.model.braces)
-        step = self._ticket_step(kernels, beta, state.heights.dtype)
+        step = self._ticket_step(kernels, beta, dtype, beta_prior)
         tickets = jnp.asarray(self.table.tickets)
-        lp_pr = self.model.log_prior(state)
-        lp_lik = self.model.log_likelihood(state)
-        acc = jnp.zeros(self.table.n_proposals, jnp.int32)
-        tot = jnp.zeros(self.table.n_proposals, jnp.int32)
+        terms = jax.vmap(self.model.log_prior_terms)(batch)
+        y = jax.vmap(self.model.whitened_residual)(batch)
+        lik_const = jnp.asarray(self.model.log_lik_const, dtype)
+        acc = jnp.zeros((C, self.table.n_proposals), jnp.int32)
+        tot = jnp.zeros((C, self.table.n_proposals), jnp.int32)
+        key, k_chains = jax.random.split(key)
+        chain_keys = jax.random.split(k_chains, C)
+
+        def lp_of(terms, y):
+            lp_pr = jnp.sum(terms, axis=-1)
+            lp_lik = lik_const - 0.5 * jnp.sum(y * y, axis=-1)
+            return lp_pr, lp_lik
 
         def one_sweep(carry, key_s):
-            state, lp_pr, lp_lik, tuning, acc, tot = carry
-            k_perm, k_scan = jax.random.split(key_s)
-            perm = jax.random.permutation(k_perm, tickets)
-            c = (state, lp_pr, lp_lik, tuning, acc, tot, k_scan)
+            batch, terms, y, tuning, acc, tot, chain_keys = carry
+            perm = jax.random.permutation(key_s, tickets)
+            c = (batch, terms, y, tuning, acc, tot, chain_keys)
             c, _ = jax.lax.scan(step, c, perm)
-            state, lp_pr, lp_lik, tuning, acc, tot, _ = c
-            out = collect(state, lp_pr, lp_lik) if collect is not None else None
-            return (state, lp_pr, lp_lik, tuning, acc, tot), out
+            batch, terms, y, tuning, acc, tot, chain_keys = c
+            if collect is not None:
+                lp_pr, lp_lik = lp_of(terms, y)
+                out = jax.vmap(collect, in_axes=(0, 0, 0))(batch, lp_pr, lp_lik)
+            else:
+                out = None
+            return (batch, terms, y, tuning, acc, tot, chain_keys), out
 
-        keys = jax.random.split(key, n)
-        carry = (state, lp_pr, lp_lik, tuning, acc, tot)
-        carry, outs = jax.lax.scan(one_sweep, carry, keys)
-        state, lp_pr, lp_lik, tuning, acc, tot = carry
-        return state, lp_pr, lp_lik, acc, tot, outs
+        sweep_keys = jax.random.split(key, n)
+        carry = (batch, terms, y, tuning, acc, tot, chain_keys)
+        carry, outs = jax.lax.scan(one_sweep, carry, sweep_keys)
+        batch, terms, y, tuning, acc, tot, chain_keys = carry
+        lp_pr, lp_lik = lp_of(terms, y)
+        return batch, lp_pr, lp_lik, acc, tot, outs
 
 
-def tune_step(tuning, acc, tot, targets, rate=1.0):
+def tune_step(tuning, acc, tot, targets, rate=1.0, tune_max=None):
     """Per-proposal tuning update after a burn-in window.
 
     Multiplicative update toward the dimension-dependent optimal acceptance
     rate (the reference engine auto-tunes per proposal during burn-in with
     custom windows; we use the standard stochastic-approximation update
-    ``t <- t * exp(rate * (acc_rate - target))``).
+    ``t <- t * exp(rate * (acc_rate - target))``).  Works on ``[C, P]`` or
+    ``[P]`` arrays alike.
+
+    ``tune_max`` is a per-proposal upper bound.  For gamma-kernel scale
+    proposals the effective shape is ``par / t``; allowing ``t`` beyond
+    ``par / 2`` makes the kernel heavier-tailed than shape-2 where the
+    Hastings factor grows like ``exp(u)`` — large, rarely-accepted jumps
+    whose acceptance statistics are badly estimated in f32, observed to
+    bias spread-type proposals.  Use :meth:`ProposalTable.tune_max`.
     """
     observed = acc / jnp.maximum(tot, 1)
     new = tuning * jnp.exp(rate * (observed - targets))
-    return jnp.clip(new, TUNE_MIN, TUNE_MAX)
+    hi = TUNE_MAX if tune_max is None else tune_max
+    return jnp.clip(new, TUNE_MIN, hi)
 
 
 # Burn-in schedules (app/Definitions.hs:420-437).

@@ -88,6 +88,18 @@ class ProposalTable:
     def init_tuning(self, dtype=jnp.float64):
         return jnp.ones(self.n_proposals, dtype)
 
+    def tune_max(self) -> np.ndarray:
+        """Per-proposal tuning upper bound: gamma-scale kernels keep shape
+        ``par / t >= 2``; slide kernels use the global cap."""
+        is_scale = np.isin(
+            self.kind,
+            [K_SCALE_SCALAR, K_SCALE_HEIGHT_RATEMEAN_CONTRA, K_SCALE_BRANCH_RATE,
+             K_SCALE_SUBTREE_RATE, K_SCALE_NORM_RATE_TREE_CONTRA,
+             K_SCALE_VAR_RATE_TREE, K_SCALE_VAR_RATE_TREE_AUTOCORR,
+             K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA],
+        )
+        return np.where(is_scale, np.minimum(self.par / 2.0, 1e2), 1e2)
+
     def target_rates(self) -> np.ndarray:
         """Optimal acceptance rate per proposal from its dimension: 0.44 for
         one dimension falling linearly to 0.234 at five or more (the classic

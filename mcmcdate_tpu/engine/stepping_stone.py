@@ -1,0 +1,131 @@
+"""Marginal likelihood by stepping-stone sampling.
+
+Reference: ``marginalLikelihood`` with ``SteppingStoneSampling``, 128 points,
+4000 iterations per point, repetitive burn-in (app/Main.hs:511-543,
+app/Definitions.hs:447-472) — run SEQUENTIALLY there (≈4 days for the
+tutorial dataset).
+
+TPU-native design: the beta ladder is one more vmapped batch axis — all
+K points run SIMULTANEOUSLY as a chain batch with per-chain likelihood
+tempering.  The wall-clock is that of a single chain.  The ladder follows
+Xie et al. (2011): ``beta_k = (k / (K-1))^(1/alpha)`` with ``alpha = 0.3``,
+so points concentrate near the prior.  The estimator telescopes
+
+    log Z = sum_k log (1/n) sum_iters exp((beta_{k+1} - beta_k) * loglik_k)
+
+computed stably with log-sum-exp per point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dating import DatingModel
+from ..models.state import State
+from . import proposals as props
+from .chains import CHUNK, ChainRunner, RunSettings
+from .mh import BurnInSettings, tune_step
+
+N_POINTS = 128
+N_POINTS_PROF = 12
+ITERATIONS_ML = 4000
+ALPHA = 0.3
+
+REPETITIVE_BURN_IN = BurnInSettings([20, 40, 60, 80], [100] * 6)
+REPETITIVE_BURN_IN_PROF = BurnInSettings([10, 20], [30, 40])
+
+
+def beta_ladder(k: int = N_POINTS, alpha: float = ALPHA) -> np.ndarray:
+    return (np.arange(k) / (k - 1)) ** (1.0 / alpha)
+
+
+@dataclass
+class MarginalLikelihoodResult:
+    log_marginal_likelihood: float
+    betas: np.ndarray
+    mean_log_lik_per_point: np.ndarray
+
+
+def run_marginal_likelihood(
+    model: DatingModel,
+    init: State,
+    settings: RunSettings,
+    *,
+    profile: bool = False,
+    log=print,
+) -> MarginalLikelihoodResult:
+    table = props.build_proposal_table(
+        model.topo, model.braces, model.calibrations_available
+    )
+    n_points = N_POINTS_PROF if profile else N_POINTS
+    iters = settings.iterations if settings.iterations else ITERATIONS_ML
+    if profile:
+        iters = min(iters, 50)
+    inner = RunSettings(**{**settings.__dict__, "n_chains": n_points})
+    runner = ChainRunner(model, table, inner, log=log)
+    dtype = runner.dtype
+    betas = jnp.asarray(beta_ladder(n_points), dtype)
+
+    batch, tuning = runner.init_chains(init)
+    key = jax.random.PRNGKey(settings.seed if settings.seed is not None else 42)
+    kern = runner.kern
+
+    chunk_plain = jax.jit(
+        lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
+    )
+    chunk_ll = jax.jit(
+        lambda b, tu, k: kern.sweeps(
+            b, tu, k, CHUNK, beta=betas,
+            collect=lambda s, lp_pr, lp_lik: lp_lik,
+        )
+    )
+
+    targets = jnp.asarray(table.target_rates(), dtype)
+    burn = (REPETITIVE_BURN_IN_PROF if profile else REPETITIVE_BURN_IN)
+    # Initial burn-in (the reference anneals along the path with repetitive
+    # burn-in per point; with all points in flight we burn in each point's
+    # chain at its own beta, same windows).
+    bi = BurnInSettings.profiling() if profile else settings.burn_in
+    log(f"stepping stones: {n_points} points x {iters} iterations, "
+        f"burn-in {bi.total} + repetitive {burn.total}")
+    done = 0
+    for w in bi.fast + bi.slow + burn.fast + burn.slow:
+        n_chunks = max(1, w // CHUNK)
+        acc_s = None
+        for _ in range(n_chunks):
+            key, k = jax.random.split(key)
+            batch, lp_pr, lp_lik, acc, tot, _ = chunk_plain(batch, tuning, k)
+            acc_s = acc if acc_s is None else acc_s + acc
+        tuning = tune_step(
+            tuning, acc.astype(dtype), tot.astype(dtype), targets
+        )
+        done += w
+
+    # Sampling: collect per-point log likelihoods.
+    lls = []
+    it = 0
+    while it < iters:
+        key, k = jax.random.split(key)
+        batch, lp_pr, lp_lik, acc, tot, out = chunk_ll(batch, tuning, k)
+        lls.append(np.asarray(out))  # [CHUNK, n_points]
+        it += CHUNK
+    ll = np.concatenate(lls, axis=0)  # [iters, n_points]
+
+    b = np.asarray(betas)
+    dbeta = b[1:] - b[:-1]  # K-1 increments
+    # Stepping stone: point k uses samples at beta_k to bridge to beta_{k+1}.
+    x = ll[:, :-1] * dbeta[None, :]
+    m = x.max(axis=0)
+    log_ratios = m + np.log(np.mean(np.exp(x - m), axis=0))
+    log_z = float(log_ratios.sum())
+    log(f"log marginal likelihood (stepping stone): {log_z:.4f}")
+    return MarginalLikelihoodResult(
+        log_marginal_likelihood=log_z,
+        betas=b,
+        mean_log_lik_per_point=ll.mean(axis=0),
+    )

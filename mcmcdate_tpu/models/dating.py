@@ -86,6 +86,38 @@ class DatingModel:
             + self.log_prior_relaxed_clock(state)
         )
 
+    def log_prior_terms(self, state: State):
+        """Flat vector of log prior terms; ``sum == log_prior``.
+
+        Acceptance ratios are computed term-by-term
+        (``sum(terms(x') - terms(x))``): contributions untouched by a
+        proposal are bitwise identical and cancel exactly, which keeps f32
+        acceptance deltas accurate even when individual terms are huge.
+        """
+        parent = jnp.asarray(self.topo.parent)
+        non_root = parent >= 0
+        scalars = jnp.stack(
+            [
+                exponential_logpdf(1.0, state.birth),
+                exponential_logpdf(1.0, state.death),
+                exponential_logpdf(self.mean_root_height, state.rate_mean),
+                gamma_logpdf(1.5, 1.0 / 6.0, state.rate_var),
+            ]
+        )
+        bd = birth_death.birth_death_terms(
+            state.heights, parent, jnp.asarray(self.topo.is_leaf),
+            state.birth, state.death, 1.0,
+        )
+        tl = H.branch_lengths(state.heights, parent)
+        clock = clocks.relaxed_clock_terms(
+            self.clock, state.rates, tl, non_root, 1.0, state.rate_var
+        )
+        nodes = node_priors.calibrate_constrain_brace_terms(
+            self.calibrations, self.constraints, self.braces,
+            state.heights, state.height,
+        )
+        return jnp.concatenate([scalars, bd, clock, nodes])
+
     # -- likelihood ----------------------------------------------------
 
     def log_likelihood(self, state: State):
@@ -94,6 +126,39 @@ class DatingModel:
         d = H.distances_from_state(state, self.topo)
         f = mvn.make_log_likelihood(self.likelihood, dtype=state.heights.dtype)
         return f(d)
+
+    def whitened_residual(self, state: State):
+        """``y`` such that ``log_lik = const - 0.5 (||y||^2 + log det)``.
+
+        For the MVN kinds ``y = (d - mu) @ L`` with ``L`` the precision
+        Cholesky factor; for univariate ``y_i = (d_i - mu_i)/sd_i``; empty
+        for no-likelihood.  Carrying ``y`` lets the sampler compute
+        likelihood deltas as ``sum((y' - y) * (y' + y))`` — a
+        cancellation-resistant form for f32 acceptance.
+        """
+        dtype = state.heights.dtype
+        if self.likelihood.kind == mvn.NONE:
+            return jnp.zeros(0, dtype)
+        d = H.distances_from_state(state, self.topo)
+        mu = jnp.asarray(self.likelihood.mu, dtype)
+        if self.likelihood.kind == mvn.UNIVARIATE:
+            sd = jnp.sqrt(jnp.asarray(self.likelihood.variances, dtype))
+            return (d - mu) / sd
+        chol = jnp.asarray(self.likelihood.chol_precision, dtype)
+        return (d - mu) @ chol
+
+    @property
+    def log_lik_const(self) -> float:
+        """Constant part of the log likelihood (normalization)."""
+        import math
+
+        if self.likelihood.kind == mvn.NONE:
+            return 0.0
+        k = self.likelihood.dim
+        c = -0.9189385332046727 * k
+        if self.likelihood.kind == mvn.UNIVARIATE:
+            return c - 0.5 * float(np.sum(np.log(self.likelihood.variances)))
+        return c - 0.5 * float(self.likelihood.log_det_sigma)
 
     # -- posterior -----------------------------------------------------
 

@@ -70,6 +70,30 @@ def extinction_at(la, mu, rho, h):
     return e
 
 
+def birth_death_terms(heights, parent, is_leaf, la, mu, rho):
+    """Per-node log contributions of the birth-death prior, plus a validity
+    term.  Returns ``f[N + 1]``; the total is their sum.  Exposing the terms
+    lets the sampler compute acceptance deltas term-by-term so contributions
+    untouched by a proposal cancel exactly in low precision."""
+    dtype = heights.dtype
+    la = jnp.asarray(la, dtype)
+    mu = jnp.asarray(mu, dtype)
+    rho = jnp.asarray(rho, dtype)
+
+    hp = heights[parent]
+    dt = hp - heights
+    e_at = extinction_at(la, mu, rho, heights)
+    c = jnp.where(is_leaf, 1.0 - rho, e_at)
+    log_d, _ = _de_factors(la, mu, c, dt)
+    log_d = jnp.where(dt > 0, log_d, -jnp.inf)
+    log_boundary = jnp.where(is_leaf, jnp.log(rho), jnp.log(la))
+    non_root = parent >= 0
+    per_node = jnp.where(non_root, log_d + log_boundary, 0.0)
+    valid = (la >= 0) & (mu >= 0) & (rho > 0) & (rho <= 1)
+    vterm = jnp.where(valid, 0.0, -jnp.inf)
+    return jnp.concatenate([per_node, vterm[None]])
+
+
 def birth_death_log(heights, parent, is_leaf, la, mu, rho, *, condition_mrca=True):
     """Log birth-death prior of an ultrametric time tree.
 
@@ -90,30 +114,4 @@ def birth_death_log(heights, parent, is_leaf, la, mu, rho, *, condition_mrca=Tru
     ``-inf`` — under jit, rejections replace the reference's ``error`` calls.
     """
     del condition_mrca  # Same computation either way for a zero stem.
-    dtype = heights.dtype
-    la = jnp.asarray(la, dtype)
-    mu = jnp.asarray(mu, dtype)
-    rho = jnp.asarray(rho, dtype)
-
-    hp = heights[parent]  # root's entry is garbage; masked below
-    dt = hp - heights
-
-    # Bottom-of-branch summary c: leaves start at E(0) = 0 with sampling rho
-    # (c = 1 - rho); internal nodes carry E(height) with rho = 1 (c = E).
-    e_at = extinction_at(la, mu, rho, heights)
-    c = jnp.where(is_leaf, 1.0 - rho, e_at)
-
-    log_d, _ = _de_factors(la, mu, c, dt)
-    # Non-positive branch durations have zero probability (the reference's
-    # recursion returns probability zero for br <= 0, BirthDeath.hs:197-226).
-    log_d = jnp.where(dt > 0, log_d, -jnp.inf)
-
-    # Boundary factors after Stadler eq. [4]: la per internal node, rho per
-    # leaf (BirthDeath.hs:197-230).
-    log_boundary = jnp.where(is_leaf, jnp.log(rho), jnp.log(la))
-
-    non_root = parent >= 0
-    total = jnp.sum(jnp.where(non_root, log_d + log_boundary, 0.0))
-
-    valid = (la >= 0) & (mu >= 0) & (rho > 0) & (rho <= 1)
-    return jnp.where(valid, total, -jnp.inf)
+    return jnp.sum(birth_death_terms(heights, parent, is_leaf, la, mu, rho))

@@ -97,6 +97,39 @@ def gamma_dirichlet_log(alpha_mu, beta_mu, alpha, mu_mean, relative_rates):
     )
 
 
+def relaxed_clock_terms(model: str, rates, time_lengths, non_root, mean, variance):
+    """Per-branch log contributions plus a validity term: ``f[N + 1]``.
+
+    The total equals :func:`relaxed_clock_log`; exposing per-branch terms
+    lets the sampler compute acceptance deltas with exact cancellation of
+    untouched branches (important in f32).
+    """
+    if model == UNCORRELATED_GAMMA:
+        lp = gamma_mean_variance_logpdf(mean, variance, rates)
+        tmask = jnp.ones_like(rates, bool)
+    elif model == UNCORRELATED_LOG_NORMAL:
+        lp = log_normal_mean_param_logpdf(mean, variance, rates)
+        tmask = jnp.ones_like(rates, bool)
+    elif model == UNCORRELATED_WHITE_NOISE:
+        t = jnp.where(time_lengths > 0, time_lengths, 1.0)
+        lp = gamma_mean_variance_logpdf(mean, variance / t, rates)
+        tmask = time_lengths > 0
+    elif model == AUTOCORRELATED_GAMMA:
+        t = jnp.where(time_lengths > 0, time_lengths, 1.0)
+        lp = gamma_mean_variance_logpdf(mean, variance * t, rates)
+        tmask = time_lengths > 0
+    elif model == AUTOCORRELATED_LOG_NORMAL:
+        t = jnp.where(time_lengths > 0, time_lengths, 1.0)
+        lp = log_normal_mean_param_logpdf(mean, variance * t, rates)
+        tmask = time_lengths > 0
+    else:
+        raise ValueError(f"Unknown relaxed clock model: {model!r}")
+    lp = jnp.where(tmask, lp, -jnp.inf)
+    per_branch = jnp.where(non_root, lp, 0.0)
+    vterm = jnp.where(variance > 0, 0.0, -jnp.inf)
+    return jnp.concatenate([per_branch, vterm[None]])
+
+
 def relaxed_clock_log(model: str, rates, time_lengths, non_root, mean, variance):
     """Dispatch on the model name (static string)."""
     if model == UNCORRELATED_GAMMA:

@@ -38,9 +38,10 @@ def gamma_logpdf(shape, scale, x):
     reference's priors and scale-proposal kernels
     (lib/Mcmc/Tree/Proposal/Unconstrained.hs:102).
     """
-    xs = jnp.where(x > 0, x, 1.0)  # avoid NaN in log for the dead branch
+    ok = (x > 0) & jnp.isfinite(x)
+    xs = jnp.where(ok, x, 1.0)  # avoid NaN in log for the dead branch
     lp = (shape - 1.0) * jnp.log(xs) - xs / scale - shape * jnp.log(scale) - gammaln(shape)
-    return jnp.where(x > 0, lp, -jnp.inf)
+    return jnp.where(ok, lp, -jnp.inf)
 
 
 def gamma_mean_variance_logpdf(mean, variance, x):
@@ -63,11 +64,12 @@ def log_normal_mean_param_logpdf(mean, variance, x):
     """Log-normal parameterized by its actual mean and the variance of the
     underlying normal (``logNormal'``, RelaxedClock.hs:141-150; Yang 2006,
     eq. 7.23)."""
-    xs = jnp.where(x > 0, x, 1.0)
+    ok = (x > 0) & jnp.isfinite(x)
+    xs = jnp.where(ok, x, 1.0)
     t = -(LN_SQRT_2PI + jnp.log(xs * jnp.sqrt(variance)))
     b = jnp.log(xs / mean) + 0.5 * variance
     e = -b * b / (2.0 * variance)
-    return jnp.where(x > 0, t + e, -jnp.inf)
+    return jnp.where(ok, t + e, -jnp.inf)
 
 
 def dirichlet_symmetric_logpdf(alpha, xs):
@@ -135,8 +137,11 @@ def truncated_normal_sample(key, mean, sd, tune, a, b):
     fi = jnp.finfo(dtype)
     x = mean + s * ndtri(jnp.clip(p, fi.tiny, 1.0 - 10 * fi.eps))
     # Clamp strictly inside the interval (reference errors instead); bounds
-    # may be infinite (e.g. sliding the root with no parent).
-    eps = jnp.asarray(1e-12, x.dtype)
+    # may be infinite (e.g. sliding the root with no parent).  The margin
+    # must be resolvable at the dtype's precision, otherwise the clamp can
+    # round back onto the bound and downstream contrary factors divide by
+    # zero.
+    eps = 32 * fi.eps
     width = jnp.where(jnp.isfinite(b - a), b - a, s)
     lo = jnp.where(jnp.isfinite(a), a + eps * width, -jnp.inf)
     hi = jnp.where(jnp.isfinite(b), b - eps * width, jnp.inf)

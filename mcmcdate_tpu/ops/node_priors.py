@@ -148,3 +148,43 @@ def calibrate_constrain_brace_log(cal, con, br, heights, height_mult):
         + constraints_log(con, heights)
         + braces_log(br, heights)
     )
+
+
+def calibrate_constrain_brace_terms(cal, con, br, heights, height_mult):
+    """Per-item log contributions: ``f[C + K + B]`` (each brace contributes
+    one summed term).  Equals :func:`calibrate_constrain_brace_log` in total."""
+    parts = []
+    dtype = heights.dtype
+    if cal.n:
+        h = heights[jnp.asarray(cal.node)]
+        lo = jnp.asarray(cal.lower, dtype) / height_mult
+        hi = jnp.asarray(cal.upper, dtype) / height_mult
+        s_lo = SQRT_2_OVER_PI * jnp.asarray(cal.lower_pm, dtype)
+        s_hi = SQRT_2_OVER_PI * jnp.asarray(cal.upper_pm, dtype)
+        below = jnp.clip(lo - h, min=0.0)
+        above = jnp.clip(h - hi, min=0.0)
+        s_lo_safe = jnp.where(s_lo > 0, s_lo, 1.0)
+        s_hi_safe = jnp.where(s_hi > 0, s_hi, 1.0)
+        lp = -0.5 * (below / s_lo_safe) ** 2 - 0.5 * jnp.where(
+            jnp.isfinite(hi), (above / s_hi_safe) ** 2, 0.0
+        )
+        valid = (height_mult > 0) & (h >= 0)
+        parts.append(jnp.where(valid, lp, -jnp.inf))
+    if con.n:
+        hy = heights[jnp.asarray(con.young)]
+        ho = heights[jnp.asarray(con.old)]
+        s = SQRT_2_OVER_PI * jnp.asarray(con.pm, dtype)
+        viol = jnp.clip(hy - ho, min=0.0)
+        parts.append(-0.5 * (viol / s) ** 2)
+    if br.n:
+        idx = jnp.asarray(br.node)
+        mask = idx >= 0
+        h = heights[jnp.clip(idx, min=0)]
+        counts = jnp.sum(mask, axis=1)
+        hmean = jnp.sum(jnp.where(mask, h, 0.0), axis=1) / counts
+        s = jnp.asarray(br.sd, dtype)[:, None]
+        lp = jnp.where(mask, -0.5 * ((h - hmean[:, None]) / s) ** 2, 0.0)
+        parts.append(jnp.sum(lp, axis=1))
+    if not parts:
+        return jnp.zeros(0, dtype)
+    return jnp.concatenate(parts)
