@@ -1,0 +1,111 @@
+"""Headline benchmark: MVN log-likelihood evaluations/sec/chip at 1k taxa.
+
+North-star metric from BASELINE.json: the reference evaluates its
+multivariate-normal likelihood approximation once per proposal on a single
+CPU core (hmatrix/LAPACK dgemv, O(n^2) per evaluation ≈ 8 MFLOP at n≈2000).
+A generous estimate for the reference on a laptop core — 2 GFLOP/s effective
+on dgemv plus tree-traversal overhead (bench/Bench.hs records ~6 us just for
+one lens edit) — gives ~250 evals/s at 1k taxa.  ``vs_baseline`` is measured
+evals/s divided by that 250/s estimate.
+
+The TPU path evaluates the likelihood for a whole chain batch at once:
+heights -> branch lengths -> distances -> whitened residual (one MXU matmul
+against the precision Cholesky factor) -> quadratic form.  1024 chains per
+step, f32.
+
+Prints ONE JSON line to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_TAXA = 1000
+N_CHAINS = 1024
+BASELINE_EVALS_PER_SEC = 250.0
+
+
+def build(n_taxa=N_TAXA, n_chains=N_CHAINS, dtype=jnp.float32, seed=0):
+    from mcmcdate_tpu.models import DatingModel, init_state
+    from mcmcdate_tpu.ops import mvn
+    from mcmcdate_tpu.tree import FlatTopology
+    from mcmcdate_tpu.utils.simulate import random_ultrametric_tree
+
+    rng = np.random.default_rng(seed)
+    tree = random_ultrametric_tree(rng, n_taxa)
+    topo = FlatTopology.from_tree(tree)
+    k = topo.n - 2
+    # Synthetic well-conditioned precision Cholesky; the benchmark measures
+    # the compute path, not the statistics.
+    chol = np.tril(rng.normal(size=(k, k)) / np.sqrt(k)) + np.eye(k) * 2.0
+    prec = chol @ chol.T
+    mu = rng.uniform(0.05, 0.5, size=k)
+    data = mvn.LikelihoodData(
+        kind=mvn.FULL,
+        mu=mu,
+        precision=prec,
+        chol_precision=chol,
+        log_det_sigma=float(-2.0 * np.log(np.diag(chol)).sum()),
+    )
+    model = DatingModel(topo=topo, likelihood=data)
+    state = init_state(tree, topo, dtype=dtype)
+    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), state)
+    r = rng.gamma(5.0, 0.2, size=(n_chains, topo.n)).astype(np.float32)
+    r[:, 0] = 1.0
+    batch = batch.replace(
+        rates=jnp.asarray(r, dtype),
+        heights=batch.heights * jnp.linspace(1.0, 1.0, n_chains)[:, None],
+    )
+    return model, batch
+
+
+def main():
+    model, batch = build()
+
+    def loglik(batch, bump):
+        # Perturb heights so iterations cannot be CSE'd away, then do the
+        # full likelihood path: distances + whitened residual + quad form.
+        b = batch.replace(rates=batch.rates * bump)
+        return jax.vmap(model.log_likelihood)(b)
+
+    f = jax.jit(loglik)
+    bump = jnp.full((N_CHAINS, 1), 1.0, jnp.float32)
+    out = f(batch, bump)
+    jax.block_until_ready(out)
+
+    # Timed: run the eval repeatedly with a small bump so each call differs.
+    iters = 50
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(iters):
+        bump2 = bump * (1.0 + 1e-6 * i)
+        acc = f(batch, bump2)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    evals = N_CHAINS * iters
+    evals_per_sec = evals / dt
+    result = {
+        "metric": "mvn_loglik_evals_per_sec_per_chip_1k_taxa",
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 1),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {N_CHAINS} chains x {iters} iters in {dt:.3f}s on "
+        f"{jax.devices()[0].device_kind}; dim={model.likelihood.dim}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

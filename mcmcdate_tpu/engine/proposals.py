@@ -89,16 +89,27 @@ class ProposalTable:
         return jnp.ones(self.n_proposals, dtype)
 
     def tune_max(self) -> np.ndarray:
-        """Per-proposal tuning upper bound: gamma-scale kernels keep shape
-        ``par / t >= 2``; slide kernels use the global cap."""
+        """Per-proposal tuning upper bound.
+
+        Gamma-scale kernels keep shape ``par / t >= 2``.  The variance-spread
+        kernels (scaleVarianceAndTree and its autocorrelated variant) keep
+        shape ``>= 10``: heavier kernels propose u ~ 3-5 jumps that
+        occasionally tunnel the chain into the near-zero-mass
+        (large variance, large rates) ridge where exits are exponentially
+        slow — a metastability the reference never exposes because its
+        auto-tuner leaves these shape-100 kernels at O(1) tuning.
+        """
         is_scale = np.isin(
             self.kind,
             [K_SCALE_SCALAR, K_SCALE_HEIGHT_RATEMEAN_CONTRA, K_SCALE_BRANCH_RATE,
              K_SCALE_SUBTREE_RATE, K_SCALE_NORM_RATE_TREE_CONTRA,
-             K_SCALE_VAR_RATE_TREE, K_SCALE_VAR_RATE_TREE_AUTOCORR,
              K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA],
         )
-        return np.where(is_scale, np.minimum(self.par / 2.0, 1e2), 1e2)
+        is_spread = np.isin(
+            self.kind, [K_SCALE_VAR_RATE_TREE, K_SCALE_VAR_RATE_TREE_AUTOCORR]
+        )
+        out = np.where(is_scale, np.minimum(self.par / 2.0, 1e2), 1e2)
+        return np.where(is_spread, self.par / 10.0, out)
 
     def target_rates(self) -> np.ndarray:
         """Optimal acceptance rate per proposal from its dimension: 0.44 for
