@@ -69,26 +69,29 @@ def build(n_taxa=N_TAXA, n_chains=N_CHAINS, dtype=jnp.float32, seed=0):
 
 def main():
     model, batch = build()
+    iters = 100
 
-    def loglik(batch, bump):
-        # Perturb heights so iterations cannot be CSE'd away, then do the
-        # full likelihood path: distances + whitened residual + quad form.
-        b = batch.replace(rates=batch.rates * bump)
-        return jax.vmap(model.log_likelihood)(b)
+    def loglik_chain(batch):
+        # Each iteration perturbs the rates so XLA cannot CSE the evals
+        # away; the result feeds the next perturbation (true dependency).
+        def body(carry, i):
+            b = batch.replace(
+                rates=batch.rates * (1.0 + 1e-6 * carry[:, None])
+            )
+            ll = jax.vmap(model.log_likelihood)(b)
+            return jnp.tanh(ll * 1e-6), ll
 
-    f = jax.jit(loglik)
-    bump = jnp.full((N_CHAINS, 1), 1.0, jnp.float32)
-    out = f(batch, bump)
+        carry = jnp.zeros(N_CHAINS, jnp.float32)
+        carry, lls = jax.lax.scan(body, carry, jnp.arange(iters))
+        return lls
+
+    f = jax.jit(loglik_chain)
+    out = f(batch)
     jax.block_until_ready(out)
 
-    # Timed: run the eval repeatedly with a small bump so each call differs.
-    iters = 50
     t0 = time.perf_counter()
-    acc = None
-    for i in range(iters):
-        bump2 = bump * (1.0 + 1e-6 * i)
-        acc = f(batch, bump2)
-    jax.block_until_ready(acc)
+    out = f(batch)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     evals = N_CHAINS * iters

@@ -64,8 +64,6 @@ def run_marginal_likelihood(
     )
     n_points = N_POINTS_PROF if profile else N_POINTS
     iters = settings.iterations if settings.iterations else ITERATIONS_ML
-    if profile:
-        iters = min(iters, 50)
     inner = RunSettings(**{**settings.__dict__, "n_chains": n_points})
     runner = ChainRunner(model, table, inner, log=log)
     dtype = runner.dtype

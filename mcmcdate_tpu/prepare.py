@@ -70,6 +70,60 @@ def _branch_matrix_all(trees: List[Node]) -> np.ndarray:
     return rows
 
 
+class _LinComb:
+    """Branch length as a symbolic linear combination of original lengths.
+
+    Running the re-rooting algorithm once with these instead of floats
+    yields, for each re-rooted branch, its coefficients over the original
+    pre-order branches.  Re-rooting is topology-only, so the SAME linear map
+    applies to every tree in the list — the native fast path parses lengths
+    into a matrix and re-roots all trees with one sparse mat-mul.
+    """
+
+    __slots__ = ("terms",)
+
+    def __init__(self, terms):
+        self.terms = dict(terms)
+
+    def __add__(self, other):
+        t = dict(self.terms)
+        if isinstance(other, _LinComb):
+            for k, v in other.terms.items():
+                t[k] = t.get(k, 0.0) + v
+        elif other:
+            raise TypeError(other)
+        return _LinComb(t)
+
+    __radd__ = __add__
+
+    def __truediv__(self, c):
+        return _LinComb({k: v / c for k, v in self.terms.items()})
+
+
+def _reroot_map(first_tree: Node, og) -> List[List]:
+    """Coefficients of the re-rooted pre-order lengths over the original
+    pre-order lengths: ``out[j] = [(i, coeff), ...]``."""
+    sym = first_tree.copy()
+    for i, nd in enumerate(sym.preorder()):
+        nd.length = _LinComb({i: 1.0})
+    rerooted = outgroup(sym, og)
+    out = []
+    for nd in rerooted.preorder():
+        if isinstance(nd.length, _LinComb):
+            out.append(sorted(nd.length.terms.items()))
+        else:  # new root stem: 0.0 float
+            out.append([])
+    return out
+
+
+def _apply_reroot_map(coeffs: List[List], lens: np.ndarray) -> np.ndarray:
+    out = np.zeros((lens.shape[0], len(coeffs)), dtype=np.float64)
+    for j, terms in enumerate(coeffs):
+        for i, c in terms:
+            out[:, j] += c * lens[:, i]
+    return out
+
+
 def prepare(
     analysis_name: str,
     rooted_tree_file: str,
@@ -80,43 +134,71 @@ def prepare(
     out_dir: str = ".",
     log=print,
 ) -> PrepareResult:
-    log("Read trees.")
-    trees_all = read_many_newick(trees_file)
-    n_trees = len(trees_all)
-    log(f"{n_trees} trees read.")
-    if n_trees == 0:
-        raise ValueError("prepare: No trees found.")
-
-    n_burn_in = n_trees // 6
-    log(f"Skip a burn in of {n_burn_in} trees.")
-    trees = trees_all[n_burn_in:]
-
-    log("Check if trees have unique leaves.")
-    if any(duplicate_leaves(t) for t in trees_all):
-        raise ValueError("prepare: Trees have duplicate leaves.")
+    from .tree.rose import tree_from_arrays
+    from .utils import native
 
     log("Read rooted tree.")
     tree_rooted = read_one_newick(rooted_tree_file)
-
-    log("Root the trees at the same point as the given rooted tree.")
     og, _ = bipartition(tree_rooted)
-    trees_rooted = [outgroup(t, og) for t in trees]
 
-    log("Check if topologies of the trees in the tree list are equal "
-        "(topology AND sub tree orders need to match).")
-    keys = {t.topology_key_ordered() for t in trees_rooted}
-    if len(keys) != 1:
-        raise ValueError(
-            "prepare: A single topology and equal sub tree orders are required."
-        )
+    log("Read trees.")
+    fast = native.read_treelist_fast(trees_file) if native.available() else None
+    if fast is not None:
+        # Native path: lengths as a matrix; re-rooting of the whole list is
+        # one sparse linear map derived from the shared topology.
+        lens_all, parents0, names0, hashes = fast
+        n_trees = len(lens_all)
+        log(f"{n_trees} trees read (native parser).")
+        log("Check if topologies of the trees in the tree list are equal "
+            "(topology AND sub tree orders need to match).")
+        if len(set(hashes.tolist())) != 1:
+            raise ValueError(
+                "prepare: A single topology and equal sub tree orders are required."
+            )
+        first = tree_from_arrays(parents0, names0, lens_all[0])
+        log("Check if trees have unique leaves.")
+        if duplicate_leaves(first):
+            raise ValueError("prepare: Trees have duplicate leaves.")
+        n_burn_in = n_trees // 6
+        log(f"Skip a burn in of {n_burn_in} trees.")
+        lens = lens_all[n_burn_in:]
+        log("Root the trees at the same point as the given rooted tree.")
+        coeffs = _reroot_map(first, og)
+        pm_full = _apply_reroot_map(coeffs, lens)
+        first_rooted = outgroup(first, og)
+        n_used = len(lens)
+    else:
+        trees_all = read_many_newick(trees_file)
+        n_trees = len(trees_all)
+        log(f"{n_trees} trees read.")
+        if n_trees == 0:
+            raise ValueError("prepare: No trees found.")
+        n_burn_in = n_trees // 6
+        log(f"Skip a burn in of {n_burn_in} trees.")
+        trees = trees_all[n_burn_in:]
+        log("Check if trees have unique leaves.")
+        if any(duplicate_leaves(t) for t in trees_all):
+            raise ValueError("prepare: Trees have duplicate leaves.")
+        log("Root the trees at the same point as the given rooted tree.")
+        trees_rooted = [outgroup(t, og) for t in trees]
+        log("Check if topologies of the trees in the tree list are equal "
+            "(topology AND sub tree orders need to match).")
+        keys = {t.topology_key_ordered() for t in trees_rooted}
+        if len(keys) != 1:
+            raise ValueError(
+                "prepare: A single topology and equal sub tree orders are required."
+            )
+        first_rooted = trees_rooted[0]
+        pm_full = _branch_matrix_all(trees_rooted)
+        n_used = len(trees_rooted)
 
     log("Check the topology of the rooted tree (sub tree orders may differ).")
-    if tree_rooted.topology_key_unordered() != trees_rooted[0].topology_key_unordered():
+    if tree_rooted.topology_key_unordered() != first_rooted.topology_key_unordered():
         raise ValueError("prepare: A single topology is required.")
 
-    topo = FlatTopology.from_tree(trees_rooted[0])
+    topo = FlatTopology.from_tree(first_rooted)
     order = topo.ref_branch_order
-    pm_r = _branch_matrix(trees_rooted, order)
+    pm_r = pm_full[:, order]
     # Merge the two root branches (sumFirstTwo).
     pm_r = np.concatenate([pm_r[:, :1] + pm_r[:, 1:2], pm_r[:, 2:]], axis=1)
 
@@ -180,8 +262,8 @@ def prepare(
     log("Prepare the rooted tree with mean branch lengths (used as initial state).")
     # Use one of the rooted tree-list trees (the given rooted tree may have a
     # different sub-tree order, app/Main.hs:289-291).
-    tree_r = trees_rooted[0].copy()
-    means_all = _branch_matrix_all(trees_rooted).mean(axis=0)
+    tree_r = first_rooted.copy()
+    means_all = pm_full.mean(axis=0)
     for nd, b in zip(tree_r.preorder(), means_all):
         nd.length = float(b)
     mean_tree = assign_indices(tree_r)
@@ -189,4 +271,4 @@ def prepare(
     log(f"Save the rooted tree with mean branch lengths to {mt_path}.")
     with open(mt_path, "w") as fh:
         fh.write(write_newick(mean_tree) + "\n")
-    return PrepareResult(data=data, mean_tree=mean_tree, n_trees_used=len(trees_rooted))
+    return PrepareResult(data=data, mean_tree=mean_tree, n_trees_used=n_used)

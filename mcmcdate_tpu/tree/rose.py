@@ -506,6 +506,15 @@ def normalize_height(t: Node) -> Node:
     return t
 
 
+def tree_from_arrays(parents, names, lengths) -> Node:
+    """Rebuild a rose tree from pre-order parent indices, names, lengths."""
+    nodes = [Node(float(l), str(n), []) for n, l in zip(names, lengths)]
+    for i, p in enumerate(parents):
+        if p >= 0:
+            nodes[p].children.append(nodes[i])
+    return nodes[0]
+
+
 def node_heights(t: Node) -> List[float]:
     """Heights of all nodes in pre-order, assuming an ultrametric tree
     (leaves at height 0).  Heights are computed top-down from the root height
