@@ -72,27 +72,29 @@ def main():
     iters = 100
 
     def loglik_chain(batch):
-        # Each iteration perturbs the rates so XLA cannot CSE the evals
-        # away; the result feeds the next perturbation (true dependency).
+        # Each iteration perturbs the rates by an amount derived from the
+        # previous log likelihood (a true, f32-visible data dependency), so
+        # XLA can neither CSE nor hoist the evaluation out of the loop.
         def body(carry, i):
-            b = batch.replace(
-                rates=batch.rates * (1.0 + 1e-6 * carry[:, None])
-            )
+            b = batch.replace(rates=batch.rates * (1.0 + 1e-4 * carry[:, None]))
             ll = jax.vmap(model.log_likelihood)(b)
-            return jnp.tanh(ll * 1e-6), ll
+            # fractional part is chaotic in the perturbation -> every
+            # iteration genuinely differs
+            return ll - jnp.floor(ll), ll
 
         carry = jnp.zeros(N_CHAINS, jnp.float32)
         carry, lls = jax.lax.scan(body, carry, jnp.arange(iters))
         return lls
 
     f = jax.jit(loglik_chain)
-    out = f(batch)
-    jax.block_until_ready(out)
+    _ = np.asarray(f(batch))  # compile + warm up; full host materialization
 
+    # block_until_ready can be a no-op on proxied backends; force a device
+    # round-trip by materializing the result on the host.
     t0 = time.perf_counter()
-    out = f(batch)
-    jax.block_until_ready(out)
+    out = np.asarray(f(batch))
     dt = time.perf_counter() - t0
+    assert out.shape == (iters, N_CHAINS) and np.all(np.isfinite(out))
 
     evals = N_CHAINS * iters
     evals_per_sec = evals / dt

@@ -92,15 +92,18 @@ def run_marginal_likelihood(
     log(f"stepping stones: {n_points} points x {iters} iterations, "
         f"burn-in {bi.total} + repetitive {burn.total}")
     done = 0
+    tmax = jnp.asarray(table.tune_max(), dtype)
     for w in bi.fast + bi.slow + burn.fast + burn.slow:
         n_chunks = max(1, w // CHUNK)
-        acc_s = None
+        acc_s = tot_s = 0
         for _ in range(n_chunks):
             key, k = jax.random.split(key)
             batch, lp_pr, lp_lik, acc, tot, _ = chunk_plain(batch, tuning, k)
-            acc_s = acc if acc_s is None else acc_s + acc
+            acc_s = acc_s + acc
+            tot_s = tot_s + tot
         tuning = tune_step(
-            tuning, acc.astype(dtype), tot.astype(dtype), targets
+            tuning, acc_s.astype(dtype), tot_s.astype(dtype), targets,
+            tune_max=tmax,
         )
         done += w
 

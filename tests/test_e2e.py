@@ -130,6 +130,62 @@ def test_analyze_utilities(workdir):
     assert k > 0
 
 
+def test_mc3_cli(workdir):
+    d, _ = workdir
+    _cli(
+        ["run", "-a", "mc3run", "--preparation-name", "an",
+         "--likelihood-spec", "full", "--mc3",
+         "--profile", "--iterations", "200", "--chains", "2", "--seed", "2"],
+        cwd=str(d),
+    )
+    assert (d / "mc3run.params.monitor").exists()
+    # Cold-chain monitor rows written.
+    n = sum(1 for _ in open(d / "mc3run.params.monitor"))
+    assert n > 50
+    with open(d / "mc3run.run.log") as fh:
+        log = fh.read()
+    assert "MC3" in log and "swap" in log
+
+
+def test_marginal_likelihood_cli(workdir):
+    d, _ = workdir
+    # Prior-only data: log marginal likelihood is exactly 0.
+    _cli(
+        ["prepare", "-a", "nolik", "--rooted-tree", "data/time.tree",
+         "--trees", "data/trees.nwk", "--likelihood-spec", "none"],
+        cwd=str(d),
+    )
+    _cli(
+        ["marginal-likelihood", "-a", "nolik", "--likelihood-spec", "none",
+         "--profile", "--iterations", "50", "--chains", "2", "--seed", "3"],
+        cwd=str(d),
+    )
+    with open(d / "nolik.mlh.log") as fh:
+        log = fh.read()
+    assert "log marginal likelihood" in log
+    val = float(log.rsplit("stepping stone):", 1)[1].split()[0])
+    assert abs(val) < 1e-5
+
+
+def test_init_from_save_cli(workdir):
+    d, _ = workdir
+    if not (d / "an.mcmc.npz").exists():  # independent of test order
+        _cli(
+            ["run", "-a", "an", "--likelihood-spec", "full",
+             "--profile", "--iterations", "50", "--chains", "4", "--seed", "1"],
+            cwd=str(d),
+        )
+    _cli(
+        ["run", "-a", "warm", "--preparation-name", "an",
+         "--likelihood-spec", "full", "--init-from-save", "an",
+         "--profile", "--iterations", "50", "--chains", "4", "--seed", "5"],
+        cwd=str(d),
+    )
+    with open(d / "warm.run.log") as fh:
+        log = fh.read()
+    assert "Using tuning parameters from save." in log
+
+
 def test_mismatched_spec_fails(workdir):
     d, _ = workdir
     env = dict(os.environ)

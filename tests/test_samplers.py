@@ -125,13 +125,16 @@ def test_stepping_stone_univariate_vs_importance_sampling():
     from mcmcdate_tpu.engine.mh import BurnInSettings
     from mcmcdate_tpu.engine.stepping_stone import run_marginal_likelihood
 
+    # 12-point ladder (profile) with real iteration counts: the fine
+    # 128-point production ladder needs the reference's 4000 iters/point to
+    # keep accumulated per-stone MC bias small — too slow for CI.
     settings = RunSettings(
-        analysis_name="ss2", n_chains=4, seed=4, iterations=1200,
+        analysis_name="ss2", n_chains=4, seed=4, iterations=1500,
         burn_in=BurnInSettings([20, 40, 60], [100, 150, 200, 250]),
     )
     res = run_marginal_likelihood(
         model, init_state(t, topo, dtype=jnp.float32), settings,
-        profile=False, log=lambda *a: None,
+        profile=True, log=lambda *a: None,
     )
 
     # Independent estimate: importance-sample the full integral with the
@@ -190,6 +193,6 @@ def test_stepping_stone_univariate_vs_importance_sampling():
     ess = w.sum() ** 2 / (w ** 2).sum()
     # Stepping stone must agree within combined MC error.
     assert ess > 2000, ess
-    assert res.log_marginal_likelihood == pytest.approx(log_z_is, abs=0.8), (
+    assert res.log_marginal_likelihood == pytest.approx(log_z_is, abs=0.5), (
         res.log_marginal_likelihood, log_z_is, ess,
     )
