@@ -52,12 +52,32 @@ class MHKernel:
     table: props.ProposalTable
 
     def _ticket_step(self, kernels, beta, dtype, beta_prior=1.0):
+        from ..ops import heights as Hops
+        from ..ops import mvn as mvn_mod
+        from . import proposals as P
+
         topo = self.model.topo
-        kind_arr = self.table.kind  # host, for uniform switch index
         node = jnp.asarray(self.table.node)
         aux = jnp.asarray(self.table.aux)
         par = jnp.asarray(self.table.par, dtype)
         root_jac = jnp.asarray(self.table.root_jac)
+
+        use_lik = self.model.likelihood.kind != mvn_mod.NONE
+        if use_lik:
+            D = self.model.likelihood.dim
+            PAD = 1025
+            mu_int = jnp.asarray(self.model.mu_internal, dtype)
+            L = jnp.asarray(self.model.chol_internal, dtype)
+            L_pad = jnp.concatenate([L, jnp.zeros((PAD, D), dtype)], axis=0)
+            if self.table.d_class is not None:
+                d_class = jnp.asarray(self.table.d_class)
+                d_lo = jnp.asarray(self.table.d_lo)
+                didx = jnp.asarray(self.table.didx)
+            else:  # hand-built tables: recompute fully everywhere
+                Pn = self.table.n_proposals
+                d_class = jnp.full(Pn, P.DC_FULL, jnp.int32)
+                d_lo = jnp.ones(Pn, jnp.int32)
+                didx = jnp.full((Pn, 1), D, jnp.int32)
 
         def apply_one(state, key, tune, pidx):
             """Single-chain proposal application; vmapped over chains with a
@@ -74,7 +94,7 @@ class MHKernel:
             )
 
         def step(carry, pidx):
-            batch, terms, y, tuning, acc, tot, keys = carry
+            batch, terms, d, y, tuning, acc, tot, keys = carry
             keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
             keys = keys2[:, 0]
             k_prop = keys2[:, 1]
@@ -84,14 +104,60 @@ class MHKernel:
                 lambda s, k, tu: apply_one(s, k, tu, pidx)
             )(batch, k_prop, t)
             terms2 = jax.vmap(self.model.log_prior_terms)(state_new)
-            y2 = jax.vmap(self.model.whitened_residual)(state_new)
             # Per-term deltas: contributions untouched by the proposal are
             # bitwise identical and cancel exactly (f32-safe acceptance).
             d_terms = terms2 - terms
             d_pr = jnp.sum(jnp.where(jnp.isnan(d_terms), 0.0, d_terms), axis=-1)
-            invalid_new = jnp.any(~jnp.isfinite(terms2) & ~jnp.isposinf(terms2), axis=-1)
+            invalid_new = jnp.any(
+                ~jnp.isfinite(terms2) & ~jnp.isposinf(terms2), axis=-1
+            )
             d_pr = jnp.where(invalid_new, -jnp.inf, d_pr)
-            d_lik = -0.5 * jnp.sum((y2 - y) * (y2 + y), axis=-1)
+
+            if use_lik:
+                # Incremental whitened-residual update by the proposal's
+                # static likelihood class (see proposals.DC_*).
+                d2 = jax.vmap(
+                    lambda s: Hops.distances_internal(s, topo)
+                )(state_new)
+                delta = d2 - d
+                C = delta.shape[0]
+                delta_pad = jnp.pad(delta, ((0, 0), (0, PAD)))
+
+                def br_inv(_):
+                    return jnp.zeros_like(y), d
+
+                def br_full(_):
+                    y2 = (d2 - mu_int) @ L
+                    return y2 - y, d2
+
+                def br_gather(_):
+                    idx = didx[pidx]
+                    dy = delta_pad[:, idx] @ L_pad[idx, :]
+                    return dy, d2
+
+                def mk_range(B):
+                    def br(_):
+                        lo = d_lo[pidx]
+                        zero = jnp.zeros((), lo.dtype)
+                        sl = jax.lax.dynamic_slice(delta_pad, (zero, lo), (C, B))
+                        Lr = jax.lax.dynamic_slice(L_pad, (lo, zero), (B, D))
+                        dy = sl @ Lr + delta[:, 0:1] @ L[0:1, :]
+                        return dy, d2
+
+                    return br
+
+                dy, d_new = jax.lax.switch(
+                    d_class[pidx],
+                    [br_inv, br_full, br_gather,
+                     mk_range(64), mk_range(256), mk_range(1024)],
+                    None,
+                )
+                d_lik = -0.5 * jnp.sum(dy * (2.0 * y + dy), axis=-1)
+            else:
+                dy = jnp.zeros_like(y)
+                d_new = d
+                d_lik = jnp.zeros_like(d_pr)
+
             # jacobianRootBranch ratio for root-adjacent proposals
             # (app/Probability.hs:408-410; liftProposalWith semantics).
             lj = jnp.where(
@@ -111,10 +177,11 @@ class MHKernel:
 
             batch = jax.tree.map(sel, state_new, batch)
             terms = sel(terms2, terms)
-            y = sel(y2, y)
+            d = sel(d_new, d)
+            y = sel(y + dy, y)
             acc = acc.at[:, pidx].add(accept.astype(acc.dtype))
             tot = tot.at[:, pidx].add(1)
-            return (batch, terms, y, tuning, acc, tot, keys), None
+            return (batch, terms, d, y, tuning, acc, tot, keys), None
 
         return step
 
@@ -137,13 +204,16 @@ class MHKernel:
         lp_lik) -> pytree`` (single-chain) is vmapped and stacked per sweep.
         Returns ``(batch, lp_pr, lp_lik, acc, tot, outs)``.
         """
+        from ..ops import heights as Hops
+
         C = batch.heights.shape[0]
         dtype = batch.heights.dtype
         kernels = props.make_kernel_switch(self.model.topo, self.model.braces)
         step = self._ticket_step(kernels, beta, dtype, beta_prior)
         tickets = jnp.asarray(self.table.tickets)
         terms = jax.vmap(self.model.log_prior_terms)(batch)
-        y = jax.vmap(self.model.whitened_residual)(batch)
+        y = jax.vmap(self.model.whitened_residual_internal)(batch)
+        d0 = jax.vmap(lambda s: Hops.distances_internal(s, self.model.topo))(batch)
         lik_const = jnp.asarray(self.model.log_lik_const, dtype)
         acc = jnp.zeros((C, self.table.n_proposals), jnp.int32)
         tot = jnp.zeros((C, self.table.n_proposals), jnp.int32)
@@ -156,22 +226,22 @@ class MHKernel:
             return lp_pr, lp_lik
 
         def one_sweep(carry, key_s):
-            batch, terms, y, tuning, acc, tot, chain_keys = carry
+            batch, terms, d, y, tuning, acc, tot, chain_keys = carry
             perm = jax.random.permutation(key_s, tickets)
-            c = (batch, terms, y, tuning, acc, tot, chain_keys)
+            c = (batch, terms, d, y, tuning, acc, tot, chain_keys)
             c, _ = jax.lax.scan(step, c, perm)
-            batch, terms, y, tuning, acc, tot, chain_keys = c
+            batch, terms, d, y, tuning, acc, tot, chain_keys = c
             if collect is not None:
                 lp_pr, lp_lik = lp_of(terms, y)
                 out = jax.vmap(collect, in_axes=(0, 0, 0))(batch, lp_pr, lp_lik)
             else:
                 out = None
-            return (batch, terms, y, tuning, acc, tot, chain_keys), out
+            return (batch, terms, d, y, tuning, acc, tot, chain_keys), out
 
         sweep_keys = jax.random.split(key, n)
-        carry = (batch, terms, y, tuning, acc, tot, chain_keys)
+        carry = (batch, terms, d0, y, tuning, acc, tot, chain_keys)
         carry, outs = jax.lax.scan(one_sweep, carry, sweep_keys)
-        batch, terms, y, tuning, acc, tot, chain_keys = carry
+        batch, terms, d, y, tuning, acc, tot, chain_keys = carry
         lp_pr, lp_lik = lp_of(terms, y)
         return batch, lp_pr, lp_lik, acc, tot, outs
 

@@ -55,6 +55,26 @@ N_KINDS = 17
 # aux codes for K_SCALE_SCALAR.
 SC_BIRTH, SC_DEATH, SC_RATE_MEAN, SC_RATE_VAR, SC_HEIGHT = range(5)
 
+# Likelihood-update classes (static per proposal row).  The whitened
+# residual y = (d - mu) @ L is updated incrementally:
+#
+# - DC_INV: the proposal leaves the distance vector EXACTLY invariant.
+#   This covers every "contrary" move — their defining property is that the
+#   expected number of substitutions per branch is unchanged (e.g.
+#   slideNodesAtContrarily rescales rates by (h_p-h)/(h_p-h') so t*r is
+#   constant, Contrary.hs:48-64) — plus scalar moves on parameters the
+#   distances do not involve (birth, death, rate variance).
+# - DC_FULL: recompute y (pulley, the variance-spread kernels, scalar
+#   height / rate-mean scales; all carry O(1) weight, so full O(n^2)
+#   evaluations are a vanishing fraction of a sweep).
+# - DC_GATHER: <= KG statically-known entries change (node slides: the
+#   node's branch and its children; single branch scales; braced slides;
+#   scaleRatesAndTreeContrarily touches only the merged root entry 0).
+# - DC_B64/B256/B1024: a contiguous internal-layout range changes (sub-tree
+#   scales); entry 0 is handled by an unconditional extra term.
+DC_INV, DC_FULL, DC_GATHER, DC_B64, DC_B256, DC_B1024 = range(6)
+D_BUCKETS = {DC_B64: 64, DC_B256: 256, DC_B1024: 1024}
+
 NEG_INF = -jnp.inf
 
 
@@ -76,6 +96,9 @@ class ProposalTable:
     root_jac: np.ndarray  # bool[P] multiply by jacobianRootBranch ratio
     names: Tuple[str, ...]
     tickets: np.ndarray  # int32[T] row index per ticket
+    d_class: np.ndarray = None  # int32[P] likelihood-update class (DC_*)
+    d_lo: np.ndarray = None  # int32[P] range start for DC_B* rows
+    didx: np.ndarray = None  # int32[P, KG] gathered entries; pad = D (zero row)
 
     @property
     def n_proposals(self) -> int:
@@ -131,11 +154,13 @@ def build_proposal_table(
     calibrations_available: bool,
 ) -> ProposalTable:
     """Assemble the full cycle (app/Definitions.hs:256-278)."""
-    rows: List[Tuple[int, int, int, float, int, int, bool, str]] = []
+    rows: List[Tuple] = []
 
-    def add(kind, node, aux, par, weight, dim, root_jac, name):
+    def add(kind, node, aux, par, weight, dim, root_jac, name,
+            dclass=DC_FULL, dlo=1, didx=()):
         if weight > 0:
-            rows.append((kind, node, aux, par, weight, dim, root_jac, name))
+            rows.append((kind, node, aux, par, weight, dim, root_jac, name,
+                         dclass, dlo, tuple(didx)))
 
     n = topo.n
     w_nb = weight_n_branches(n)
@@ -150,15 +175,42 @@ def build_proposal_table(
         # min(wMin + depth - 2, wMax), wMin=3, wMax=8 (Ultrametric.hs:211-217)
         return min(3 + int(depth[i]) - 2, 8)
 
-    # Hyper-parameter scales (Definitions.hs:259-262).
-    add(K_SCALE_SCALAR, -1, SC_BIRTH, 10.0, w_nb, 1, False, "Time birth rate")
-    add(K_SCALE_SCALAR, -1, SC_DEATH, 10.0, w_nb, 1, False, "Time death rate")
-    add(K_SCALE_SCALAR, -1, SC_RATE_MEAN, 10.0, w_nb, 1, False, "Rate mean")
-    add(K_SCALE_SCALAR, -1, SC_RATE_VAR, 10.0, w_nb, 1, False, "Rate variance")
-    # Rates and time tree contrary (Definitions.hs:263, 275).
+    pos = topo.internal_pos
+
+    def range_of(i):
+        lo, hi = topo.dist_range(i)
+        ln = hi - lo
+        if ln <= 64:
+            return DC_B64, lo
+        if ln <= 256:
+            return DC_B256, lo
+        if ln <= 1024:
+            return DC_B1024, lo
+        return DC_FULL, 1
+
+    def slide_idx(i):
+        out = {int(pos[i])}
+        for c in topo.children[i]:
+            if c >= 0:
+                out.add(int(pos[c]))
+        return sorted(out)
+
+    # Hyper-parameter scales (Definitions.hs:259-262).  Birth, death, and
+    # rate variance do not enter the distances: likelihood-invariant.
+    add(K_SCALE_SCALAR, -1, SC_BIRTH, 10.0, w_nb, 1, False, "Time birth rate",
+        DC_INV)
+    add(K_SCALE_SCALAR, -1, SC_DEATH, 10.0, w_nb, 1, False, "Time death rate",
+        DC_INV)
+    add(K_SCALE_SCALAR, -1, SC_RATE_MEAN, 10.0, w_nb, 1, False, "Rate mean",
+        DC_FULL)
+    add(K_SCALE_SCALAR, -1, SC_RATE_VAR, 10.0, w_nb, 1, False, "Rate variance",
+        DC_INV)
+    # Rates and time tree contrary (Definitions.hs:263, 275): all inner
+    # branches are rate-compensated; only the merged root entry changes.
     add(
         K_SCALE_RATES_TIME_TREE_CONTRA, 0, -1, 0.1, w_nb,
         (n_inner_total - 1) + 2, True, "Rates and time tree",
+        DC_GATHER, 1, [0],
     )
 
     # Time tree proposals (Definitions.hs:144-166).
@@ -167,56 +219,69 @@ def build_proposal_table(
         add(
             K_PULLEY_ULTRA, 0, -1, 0.01, 6,
             int(n_inner_sub[l] + n_inner_sub[r]), True, "[R] Time tree pulley",
+            DC_FULL,
         )
     for i in inner:
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
-        add(K_SLIDE_NODE_ULTRA, i, -1, 0.01, 5, 1, rj, f"{tag} Time tree slide node {i}")
+        add(K_SLIDE_NODE_ULTRA, i, -1, 0.01, 5, 1, rj,
+            f"{tag} Time tree slide node {i}", DC_GATHER, 1, slide_idx(i))
+        dc, dlo = range_of(i)
         add(
             K_SCALE_SUBTREE_ULTRA, i, -1, 0.01, depth_weight(i),
             int(n_inner_sub[i]), rj, f"{tag} Time tree scale sub tree {i}",
+            dc, dlo,
         )
     for b in range(braces.n):
         nodes_b = [int(x) for x in braces.node[b] if x >= 0]
+        bidx = sorted({j for x in nodes_b for j in slide_idx(x)})
         add(
             K_SLIDE_BRACED_ULTRA, -1, b, 0.01, 5, len(nodes_b), False,
             f"[B] Time tree brace {braces.names[b] if braces.names else b}",
+            DC_GATHER, 1, bidx,
         )
 
-    # Rate tree proposals (Definitions.hs:180-201).
+    # Rate tree proposals (Definitions.hs:180-201).  The norm-contrary move
+    # rescales rates against the mean: distances invariant.
     add(
         K_SCALE_NORM_RATE_TREE_CONTRA, -1, -1, 100.0, w_nb, n, True,
-        "[R] Rate mean, Rate tree",
+        "[R] Rate mean, Rate tree", DC_INV,
     )
-    add(K_SCALE_VAR_RATE_TREE, -1, -1, 100.0, w_nb, n, True, "[R] Rate variance, Rate tree")
+    add(K_SCALE_VAR_RATE_TREE, -1, -1, 100.0, w_nb, n, True,
+        "[R] Rate variance, Rate tree", DC_FULL)
     add(
         K_SCALE_VAR_RATE_TREE_AUTOCORR, -1, -1, 100.0, w_nb, n, True,
-        "[R] Rate variance, Rate tree (autocorrelated)",
+        "[R] Rate variance, Rate tree (autocorrelated)", DC_FULL,
     )
     for i in range(1, n):
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
-        add(K_SCALE_BRANCH_RATE, i, -1, 100.0, 3, 1, rj, f"{tag} Rate tree scale branch {i}")
+        add(K_SCALE_BRANCH_RATE, i, -1, 100.0, 3, 1, rj,
+            f"{tag} Rate tree scale branch {i}", DC_GATHER, 1, [int(pos[i])])
     for i in inner:
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
+        dc, dlo = range_of(i)
         add(
             K_SCALE_SUBTREE_RATE, i, -1, 100.0, depth_weight(i),
             int(n_nodes_sub[i]), rj, f"{tag} Rate tree scale sub tree {i}",
+            dc, dlo,
         )
 
-    # Contrary proposals on both trees (Definitions.hs:204-221).
+    # Contrary proposals on both trees (Definitions.hs:204-221): rates are
+    # rescaled so t*r stays constant per branch — likelihood-invariant.
     for i in inner:
         rj = level[i] == 1
         tag = "[C] [R]" if rj else "[C] [O]"
         ndaughters = int(topo.n_children[i])
         add(
             K_SLIDE_NODES_CONTRA, i, -1, 0.1, depth_weight(i),
-            1 + 1 + ndaughters, rj, f"{tag} Trees slide node {i}",
+            1 + 1 + ndaughters, rj, f"{tag} Trees slide node {i}", DC_INV,
         )
         add(
             K_SCALE_SUBTREES_CONTRA, i, -1, 0.1, depth_weight(i),
-            int(n_inner_sub[i] + n_nodes_sub[i]), rj, f"{tag} Trees scale sub tree {i}",
+            int(n_inner_sub[i] + n_nodes_sub[i]), rj,
+            f"{tag} Trees scale sub tree {i}", DC_INV,
         )
     for b in range(braces.n):
         nodes_b = [int(x) for x in braces.node[b] if x >= 0]
@@ -225,23 +290,26 @@ def build_proposal_table(
             K_SLIDE_BRACED_CONTRA, -1, b, 0.1, 5,
             len(nodes_b) * 2 + ndaughters, False,
             f"[C] [B] Trees brace {braces.names[b] if braces.names else b}",
+            DC_INV,
         )
 
     # Proposals changing the absolute time height — only when calibrated
     # (Definitions.hs:241-253).
     if calibrations_available:
-        add(K_SCALE_SCALAR, -1, SC_HEIGHT, 3000.0, w_nb, 1, False, "Time height")
+        add(K_SCALE_SCALAR, -1, SC_HEIGHT, 3000.0, w_nb, 1, False,
+            "Time height", DC_FULL)
         add(
             K_SCALE_HEIGHT_RATEMEAN_CONTRA, -1, -1, 10.0, w_nb, 2, False,
-            "Time height, rate mean",
+            "Time height, rate mean", DC_INV,
         )
         add(
             K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA, -1, -1, 100.0, w_nb, n, True,
-            "[R] Time height, Rate tree",
+            "[R] Time height, Rate tree", DC_INV,
         )
         add(
             K_SLIDE_ROOT_CONTRA, 0, -1, 10.0, w_nb,
-            1 + n_inner_total + int(topo.n_children[0]), True, "[R] Trees slide root",
+            1 + n_inner_total + int(topo.n_children[0]), True,
+            "[R] Trees slide root", DC_INV,
         )
 
     kind = np.asarray([x[0] for x in rows], np.int32)
@@ -252,10 +320,19 @@ def build_proposal_table(
     dim = np.asarray([x[5] for x in rows], np.int32)
     root_jac = np.asarray([x[6] for x in rows], bool)
     names = tuple(x[7] for x in rows)
+    d_class = np.asarray([x[8] for x in rows], np.int32)
+    d_lo = np.asarray([x[9] for x in rows], np.int32)
+    kg = max(max((len(x[10]) for x in rows), default=1), 1)
+    n_dist = topo.n - 2
+    didx = np.full((len(rows), kg), n_dist, np.int32)  # pad -> zero row
+    for p, x in enumerate(rows):
+        for j, v in enumerate(x[10]):
+            didx[p, j] = v
     tickets = np.concatenate(
         [np.full(w, p, np.int32) for p, w in enumerate(weight)]
     )
-    return ProposalTable(kind, node, aux, par, weight, dim, root_jac, names, tickets)
+    return ProposalTable(kind, node, aux, par, weight, dim, root_jac, names,
+                         tickets, d_class, d_lo, didx)
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ density on the flat state; the composed posterior vmaps over chains.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import cached_property
 from typing import Optional
 
 import jax.numpy as jnp
@@ -126,6 +127,38 @@ class DatingModel:
         d = H.distances_from_state(state, self.topo)
         f = mvn.make_log_likelihood(self.likelihood, dtype=state.heights.dtype)
         return f(d)
+
+    # Internal (pre-order) likelihood layout: mu and the precision factor
+    # permuted once on the host so that sub-tree proposals touch entry 0
+    # plus one contiguous distance range (incremental updates).
+    @cached_property
+    def mu_internal(self) -> Optional[np.ndarray]:
+        if self.likelihood.kind == mvn.NONE:
+            return None
+        return self.likelihood.mu[self.topo.ref_to_internal_perm]
+
+    @cached_property
+    def chol_internal(self) -> Optional[np.ndarray]:
+        """Lower Cholesky of the internally-permuted precision (or the
+        diagonal scale for the univariate kind), recomputed in f64."""
+        if self.likelihood.kind == mvn.NONE:
+            return None
+        perm = self.topo.ref_to_internal_perm
+        if self.likelihood.kind == mvn.UNIVARIATE:
+            return np.diag(1.0 / np.sqrt(self.likelihood.variances[perm]))
+        prec = self.likelihood.precision[np.ix_(perm, perm)]
+        return np.linalg.cholesky(prec)
+
+    def whitened_residual_internal(self, state: State):
+        """Internal-layout residual ``y``; same ||y||^2 as
+        :meth:`whitened_residual` (permutation preserves the quadratic
+        form)."""
+        dtype = state.heights.dtype
+        if self.likelihood.kind == mvn.NONE:
+            return jnp.zeros(0, dtype)
+        d = H.distances_internal(state, self.topo)
+        mu = jnp.asarray(self.mu_internal, dtype)
+        return (d - mu) @ jnp.asarray(self.chol_internal, dtype)
 
     def whitened_residual(self, state: State):
         """``y`` such that ``log_lik = const - 0.5 (||y||^2 + log det)``.

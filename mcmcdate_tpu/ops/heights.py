@@ -32,7 +32,7 @@ def distances(time_lengths, rates, height, rate_mean, dist_node_index, root_righ
 
 
 def distances_from_state(state, topo):
-    """Distance vector from a model state (see models.state.State)."""
+    """Distance vector from a model state, reference order."""
     tl = branch_lengths(state.heights, jnp.asarray(topo.parent))
     return distances(
         tl,
@@ -40,6 +40,21 @@ def distances_from_state(state, topo):
         state.height,
         state.rate_mean,
         jnp.asarray(topo.dist_node_index),
+        topo.root_children[1],
+    )
+
+
+def distances_internal(state, topo):
+    """Distance vector in the INTERNAL (pre-order) layout (see
+    FlatTopology.internal_dist_index); used by the incremental likelihood
+    path of the sampler."""
+    tl = branch_lengths(state.heights, jnp.asarray(topo.parent))
+    return distances(
+        tl,
+        state.rates,
+        state.height,
+        state.rate_mean,
+        jnp.asarray(topo.internal_dist_index),
         topo.root_children[1],
     )
 

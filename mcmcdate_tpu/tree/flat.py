@@ -194,3 +194,59 @@ class FlatTopology:
         if self.n_children[0] != 2:
             raise ValueError("root_children: Root node is not bifurcating.")
         return int(self.children[0, 0]), int(self.children[0, 1])
+
+    # ------------------------------------------------------------------
+    # Internal (pre-order) distance layout
+    #
+    # The on-device likelihood uses distances in PRE-ORDER of the non-root
+    # nodes with the second root child's entry merged into the first's
+    # (entry 0).  In this layout the distance entries touched by a sub-tree
+    # proposal form entry 0 plus ONE contiguous range, enabling incremental
+    # whitened-residual updates with static-size dynamic slices.  ``mu`` and
+    # the precision factor are permuted from the reference order once on the
+    # host (see DatingModel).
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def internal_pos(self) -> np.ndarray:
+        """int32[N]: distance position per node; root -1; both root children
+        map to 0 (their branches are summed into entry 0)."""
+        l, r = self.root_children
+        pos = np.empty(self.n, dtype=np.int32)
+        pos[0] = -1
+        for n in range(1, self.n):
+            if n == r:
+                pos[n] = 0
+            elif n < r:
+                pos[n] = n - 1
+            else:
+                pos[n] = n - 2
+        return pos
+
+    @cached_property
+    def internal_dist_index(self) -> np.ndarray:
+        """int32[N-2]: node providing each internal distance entry (the
+        second root child is added to entry 0 separately)."""
+        l, r = self.root_children
+        return np.asarray([n for n in range(1, self.n) if n != r], np.int32)
+
+    @cached_property
+    def ref_to_internal_perm(self) -> np.ndarray:
+        """int32[N-2] with ``d_internal = d_ref[perm]``."""
+        ref_nodes = self.dist_node_index  # node per ref entry (entry 0 = l)
+        node_to_ref = {int(n): i for i, n in enumerate(ref_nodes)}
+        return np.asarray(
+            [node_to_ref[int(n)] for n in self.internal_dist_index], np.int32
+        )
+
+    def dist_range(self, i: int) -> Tuple[int, int]:
+        """Contiguous internal-distance range covered by the sub-tree at
+        ``i`` (excluding entry 0, which callers handle separately)."""
+        lo_node, hi_node = int(i), int(self.subtree_end[i])
+        ps = [int(self.internal_pos[n]) for n in range(lo_node, hi_node)]
+        ps = [p for p in ps if p >= 1]
+        if not ps:
+            return (1, 1)
+        lo, hi = min(ps), max(ps) + 1
+        assert hi - lo == len(ps), "dist_range: range not contiguous"
+        return (lo, hi)

@@ -113,6 +113,47 @@ def test_prior_marginals_match_golden(setup):
         assert abs(z) < 6.0, f"{name}: mean {draws.mean():.4f} vs {gold} (z={z:+.1f})"
 
 
+def test_incremental_likelihood_matches_full():
+    """The incrementally-carried whitened residual must match a fresh full
+    evaluation after many sweeps (validates the DC_* classification: the
+    invariance claims for contrary kernels and the gather/range updates)."""
+    from mcmcdate_tpu.utils.simulate import random_ultrametric_tree
+
+    rng = np.random.default_rng(1)
+    t = random_ultrametric_tree(rng, 12)
+    topo = FlatTopology.from_tree(t)
+    k = topo.n - 2
+    a = rng.normal(size=(k, k)) / np.sqrt(k)
+    sigma = a @ a.T + np.eye(k) * 0.1
+    data = mvn.LikelihoodData.full(
+        rng.uniform(0.05, 0.6, size=k), np.linalg.inv(sigma),
+        np.linalg.slogdet(sigma)[1],
+    )
+    model = DatingModel(topo=topo, likelihood=data)
+    table = P.build_proposal_table(topo, model.braces, False)
+    # Every class must actually occur on this tree.
+    present = set(int(c) for c in table.d_class)
+    assert {P.DC_INV, P.DC_FULL, P.DC_GATHER, P.DC_B64} <= present
+    kern = mh.MHKernel(model, table)
+    C = 8
+    state = init_state(t, topo, dtype=jnp.float32)
+    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape), state)
+    r = rng.gamma(5.0, 0.2, size=(C, topo.n))
+    r[:, 0] = 1.0
+    batch = batch.replace(rates=jnp.asarray(r, jnp.float32))
+    tuning = jnp.ones((C, table.n_proposals), jnp.float32)
+    out = jax.jit(lambda b, tu, kk: kern.sweeps(b, tu, kk, 20))(
+        batch, tuning, jax.random.PRNGKey(0)
+    )
+    batch2, lp_pr, lp_lik, acc, tot, _ = out
+    lp_fresh = np.asarray(jax.jit(jax.vmap(model.log_likelihood))(batch2))
+    assert np.max(np.abs(np.asarray(lp_lik) - lp_fresh)) < 0.05
+    # Internal permutation preserves the quadratic form exactly.
+    y_int = np.asarray(jax.vmap(model.whitened_residual_internal)(batch2))
+    y_ref = np.asarray(jax.vmap(model.whitened_residual)(batch2))
+    assert np.allclose((y_int**2).sum(1), (y_ref**2).sum(1), rtol=1e-4)
+
+
 def test_tuning_moves_toward_target():
     tuning = jnp.ones(3)
     targets = jnp.asarray([0.44, 0.44, 0.44])
