@@ -58,8 +58,47 @@ def _parse_clock(s: str) -> str:
     return table[key]
 
 
+def parse_analysis_conf(path: str) -> dict:
+    """Parse the reference's ``analysis.conf`` key="value" files
+    (scripts/run:106; e.g. tests/06-leaves-constant-rate/analysis.conf)."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            v = v.strip().strip('"').strip("'")
+            out[k.strip()] = v
+    return out
+
+
+def _apply_conf(args):
+    """Fill unset CLI options from --analysis-conf (CLI flags win)."""
+    if not getattr(args, "analysis_conf", None):
+        return
+    conf = parse_analysis_conf(args.analysis_conf)
+    if args.analysis_name is None and "analysis_name" in conf:
+        args.analysis_name = conf["analysis_name"]
+    if getattr(args, "rooted_tree", None) is None and "rooted_tree" in conf:
+        args.rooted_tree = conf["rooted_tree"]
+    if getattr(args, "trees", None) is None and "trees" in conf:
+        args.trees = conf["trees"]
+    if getattr(args, "calibrations", None) is None and "calibrations" in conf:
+        kind = "tree" if conf["calibrations"].endswith(".tree") else "csv"
+        args.calibrations = f"{kind} {conf['calibrations']}"
+    if getattr(args, "constraints", None) is None and conf.get("constraints"):
+        args.constraints = conf["constraints"]
+    if getattr(args, "braces", None) is None and conf.get("braces"):
+        args.braces = conf["braces"]
+    if args.analysis_name is None:
+        raise SystemExit("analysis name missing (flag or analysis.conf)")
+
+
 def _add_run_args(p: argparse.ArgumentParser):
-    p.add_argument("-a", "--analysis-name", required=True, metavar="NAME")
+    p.add_argument("-a", "--analysis-name", metavar="NAME")
+    p.add_argument("--analysis-conf", metavar="FILE",
+                   help="fill unset options from a reference-style analysis.conf")
     p.add_argument("--preparation-name", metavar="NAME",
                    help="default: value of --analysis-name")
     p.add_argument("--calibrations", metavar='"SPEC FILE"',
@@ -96,9 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="mode", required=True)
 
     p = sub.add_parser("prepare", help="approximate the posterior of branch lengths")
-    p.add_argument("-a", "--analysis-name", required=True, metavar="NAME")
-    p.add_argument("--rooted-tree", required=True, metavar="FILE")
-    p.add_argument("--trees", required=True, metavar="FILE")
+    p.add_argument("-a", "--analysis-name", metavar="NAME")
+    p.add_argument("--analysis-conf", metavar="FILE")
+    p.add_argument("--rooted-tree", metavar="FILE")
+    p.add_argument("--trees", metavar="FILE")
     p.add_argument("--likelihood-spec", required=True, metavar="SPEC")
     p.add_argument("--out-dir", default=".")
 
@@ -339,6 +379,13 @@ def main(argv=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_comp"))
     args = build_parser().parse_args(argv)
+    if args.mode in ("prepare", "run", "continue", "marginal-likelihood"):
+        _apply_conf(args)
+        if args.analysis_name is None:
+            raise SystemExit("analysis name missing (flag or analysis.conf)")
+        if args.mode == "prepare" and (args.rooted_tree is None or args.trees is None):
+            raise SystemExit("prepare requires --rooted-tree and --trees "
+                             "(flags or analysis.conf)")
     if args.mode == "prepare":
         cmd_prepare(args)
     elif args.mode == "run":

@@ -103,6 +103,10 @@ class MHKernel:
             state_new, log_mhg = jax.vmap(
                 lambda s, k, tu: apply_one(s, k, tu, pidx)
             )(batch, k_prop, t)
+            # NOTE: recomputing only the prior blocks a proposal can change
+            # (table.prior_class) was measured SLOWER at 1k taxa — the sweep
+            # is HBM-bound and splicing carried slices copies as many bytes
+            # as recomputing.  Full recomputation keeps the step simple.
             terms2 = jax.vmap(self.model.log_prior_terms)(state_new)
             # Per-term deltas: contributions untouched by the proposal are
             # bitwise identical and cancel exactly (f32-safe acceptance).

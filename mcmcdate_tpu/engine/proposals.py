@@ -75,6 +75,21 @@ SC_BIRTH, SC_DEATH, SC_RATE_MEAN, SC_RATE_VAR, SC_HEIGHT = range(5)
 DC_INV, DC_FULL, DC_GATHER, DC_B64, DC_B256, DC_B1024 = range(6)
 D_BUCKETS = {DC_B64: 64, DC_B256: 256, DC_B1024: 1024}
 
+# Prior-term block classes: which of the [scalars, bd, clock, nodes] blocks
+# a proposal can change.  Skipped blocks reuse the carried values (their
+# acceptance delta is exactly zero).
+PC_SC, PC_SC_BD, PC_SC_CK, PC_CK, PC_ND, PC_SC_ND, PC_BD_CK_ND, PC_ALL = range(8)
+PC_BLOCKS = {  # (scalars, bd, clock, nodes)
+    PC_SC: (1, 0, 0, 0),
+    PC_SC_BD: (1, 1, 0, 0),
+    PC_SC_CK: (1, 0, 1, 0),
+    PC_CK: (0, 0, 1, 0),
+    PC_ND: (0, 0, 0, 1),
+    PC_SC_ND: (1, 0, 0, 1),
+    PC_BD_CK_ND: (0, 1, 1, 1),
+    PC_ALL: (1, 1, 1, 1),
+}
+
 NEG_INF = -jnp.inf
 
 
@@ -99,6 +114,7 @@ class ProposalTable:
     d_class: np.ndarray = None  # int32[P] likelihood-update class (DC_*)
     d_lo: np.ndarray = None  # int32[P] range start for DC_B* rows
     didx: np.ndarray = None  # int32[P, KG] gathered entries; pad = D (zero row)
+    prior_class: np.ndarray = None  # int32[P] prior-block class (PC_*)
 
     @property
     def n_proposals(self) -> int:
@@ -157,10 +173,10 @@ def build_proposal_table(
     rows: List[Tuple] = []
 
     def add(kind, node, aux, par, weight, dim, root_jac, name,
-            dclass=DC_FULL, dlo=1, didx=()):
+            dclass=DC_FULL, dlo=1, didx=(), pclass=PC_ALL):
         if weight > 0:
             rows.append((kind, node, aux, par, weight, dim, root_jac, name,
-                         dclass, dlo, tuple(didx)))
+                         dclass, dlo, tuple(didx), pclass))
 
     n = topo.n
     w_nb = weight_n_branches(n)
@@ -198,19 +214,19 @@ def build_proposal_table(
     # Hyper-parameter scales (Definitions.hs:259-262).  Birth, death, and
     # rate variance do not enter the distances: likelihood-invariant.
     add(K_SCALE_SCALAR, -1, SC_BIRTH, 10.0, w_nb, 1, False, "Time birth rate",
-        DC_INV)
+        DC_INV, pclass=PC_SC_BD)
     add(K_SCALE_SCALAR, -1, SC_DEATH, 10.0, w_nb, 1, False, "Time death rate",
-        DC_INV)
+        DC_INV, pclass=PC_SC_BD)
     add(K_SCALE_SCALAR, -1, SC_RATE_MEAN, 10.0, w_nb, 1, False, "Rate mean",
-        DC_FULL)
+        DC_FULL, pclass=PC_SC)
     add(K_SCALE_SCALAR, -1, SC_RATE_VAR, 10.0, w_nb, 1, False, "Rate variance",
-        DC_INV)
+        DC_INV, pclass=PC_SC_CK)
     # Rates and time tree contrary (Definitions.hs:263, 275): all inner
     # branches are rate-compensated; only the merged root entry changes.
     add(
         K_SCALE_RATES_TIME_TREE_CONTRA, 0, -1, 0.1, w_nb,
         (n_inner_total - 1) + 2, True, "Rates and time tree",
-        DC_GATHER, 1, [0],
+        DC_GATHER, 1, [0], PC_ALL,
     )
 
     # Time tree proposals (Definitions.hs:144-166).
@@ -219,18 +235,19 @@ def build_proposal_table(
         add(
             K_PULLEY_ULTRA, 0, -1, 0.01, 6,
             int(n_inner_sub[l] + n_inner_sub[r]), True, "[R] Time tree pulley",
-            DC_FULL,
+            DC_FULL, pclass=PC_BD_CK_ND,
         )
     for i in inner:
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
         add(K_SLIDE_NODE_ULTRA, i, -1, 0.01, 5, 1, rj,
-            f"{tag} Time tree slide node {i}", DC_GATHER, 1, slide_idx(i))
+            f"{tag} Time tree slide node {i}", DC_GATHER, 1, slide_idx(i),
+            PC_BD_CK_ND)
         dc, dlo = range_of(i)
         add(
             K_SCALE_SUBTREE_ULTRA, i, -1, 0.01, depth_weight(i),
             int(n_inner_sub[i]), rj, f"{tag} Time tree scale sub tree {i}",
-            dc, dlo,
+            dc, dlo, pclass=PC_BD_CK_ND,
         )
     for b in range(braces.n):
         nodes_b = [int(x) for x in braces.node[b] if x >= 0]
@@ -238,26 +255,28 @@ def build_proposal_table(
         add(
             K_SLIDE_BRACED_ULTRA, -1, b, 0.01, 5, len(nodes_b), False,
             f"[B] Time tree brace {braces.names[b] if braces.names else b}",
-            DC_GATHER, 1, bidx,
+            DC_GATHER, 1, bidx, PC_BD_CK_ND,
         )
 
     # Rate tree proposals (Definitions.hs:180-201).  The norm-contrary move
     # rescales rates against the mean: distances invariant.
     add(
         K_SCALE_NORM_RATE_TREE_CONTRA, -1, -1, 100.0, w_nb, n, True,
-        "[R] Rate mean, Rate tree", DC_INV,
+        "[R] Rate mean, Rate tree", DC_INV, pclass=PC_SC_CK,
     )
     add(K_SCALE_VAR_RATE_TREE, -1, -1, 100.0, w_nb, n, True,
-        "[R] Rate variance, Rate tree", DC_FULL)
+        "[R] Rate variance, Rate tree", DC_FULL, pclass=PC_SC_CK)
     add(
         K_SCALE_VAR_RATE_TREE_AUTOCORR, -1, -1, 100.0, w_nb, n, True,
         "[R] Rate variance, Rate tree (autocorrelated)", DC_FULL,
+        pclass=PC_SC_CK,
     )
     for i in range(1, n):
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
         add(K_SCALE_BRANCH_RATE, i, -1, 100.0, 3, 1, rj,
-            f"{tag} Rate tree scale branch {i}", DC_GATHER, 1, [int(pos[i])])
+            f"{tag} Rate tree scale branch {i}", DC_GATHER, 1, [int(pos[i])],
+            PC_CK)
     for i in inner:
         rj = level[i] == 1
         tag = "[R]" if rj else "[O]"
@@ -265,7 +284,7 @@ def build_proposal_table(
         add(
             K_SCALE_SUBTREE_RATE, i, -1, 100.0, depth_weight(i),
             int(n_nodes_sub[i]), rj, f"{tag} Rate tree scale sub tree {i}",
-            dc, dlo,
+            dc, dlo, pclass=PC_CK,
         )
 
     # Contrary proposals on both trees (Definitions.hs:204-221): rates are
@@ -277,11 +296,12 @@ def build_proposal_table(
         add(
             K_SLIDE_NODES_CONTRA, i, -1, 0.1, depth_weight(i),
             1 + 1 + ndaughters, rj, f"{tag} Trees slide node {i}", DC_INV,
+            pclass=PC_BD_CK_ND,
         )
         add(
             K_SCALE_SUBTREES_CONTRA, i, -1, 0.1, depth_weight(i),
             int(n_inner_sub[i] + n_nodes_sub[i]), rj,
-            f"{tag} Trees scale sub tree {i}", DC_INV,
+            f"{tag} Trees scale sub tree {i}", DC_INV, pclass=PC_BD_CK_ND,
         )
     for b in range(braces.n):
         nodes_b = [int(x) for x in braces.node[b] if x >= 0]
@@ -290,26 +310,26 @@ def build_proposal_table(
             K_SLIDE_BRACED_CONTRA, -1, b, 0.1, 5,
             len(nodes_b) * 2 + ndaughters, False,
             f"[C] [B] Trees brace {braces.names[b] if braces.names else b}",
-            DC_INV,
+            DC_INV, pclass=PC_BD_CK_ND,
         )
 
     # Proposals changing the absolute time height — only when calibrated
     # (Definitions.hs:241-253).
     if calibrations_available:
         add(K_SCALE_SCALAR, -1, SC_HEIGHT, 3000.0, w_nb, 1, False,
-            "Time height", DC_FULL)
+            "Time height", DC_FULL, pclass=PC_ND)
         add(
             K_SCALE_HEIGHT_RATEMEAN_CONTRA, -1, -1, 10.0, w_nb, 2, False,
-            "Time height, rate mean", DC_INV,
+            "Time height, rate mean", DC_INV, pclass=PC_SC_ND,
         )
         add(
             K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA, -1, -1, 100.0, w_nb, n, True,
-            "[R] Time height, Rate tree", DC_INV,
+            "[R] Time height, Rate tree", DC_INV, pclass=PC_BD_CK_ND,
         )
         add(
             K_SLIDE_ROOT_CONTRA, 0, -1, 10.0, w_nb,
             1 + n_inner_total + int(topo.n_children[0]), True,
-            "[R] Trees slide root", DC_INV,
+            "[R] Trees slide root", DC_INV, pclass=PC_BD_CK_ND,
         )
 
     kind = np.asarray([x[0] for x in rows], np.int32)
@@ -322,6 +342,7 @@ def build_proposal_table(
     names = tuple(x[7] for x in rows)
     d_class = np.asarray([x[8] for x in rows], np.int32)
     d_lo = np.asarray([x[9] for x in rows], np.int32)
+    prior_class = np.asarray([x[11] for x in rows], np.int32)
     kg = max(max((len(x[10]) for x in rows), default=1), 1)
     n_dist = topo.n - 2
     didx = np.full((len(rows), kg), n_dist, np.int32)  # pad -> zero row
@@ -332,7 +353,7 @@ def build_proposal_table(
         [np.full(w, p, np.int32) for p, w in enumerate(weight)]
     )
     return ProposalTable(kind, node, aux, par, weight, dim, root_jac, names,
-                         tickets, d_class, d_lo, didx)
+                         tickets, d_class, d_lo, didx, prior_class)
 
 
 # ---------------------------------------------------------------------------

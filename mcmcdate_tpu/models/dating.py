@@ -87,6 +87,47 @@ class DatingModel:
             + self.log_prior_relaxed_clock(state)
         )
 
+    # -- prior term blocks ----------------------------------------------
+    # The flat term vector is [scalars(4), bd(N+1), clock(N+1), nodes(nn)];
+    # the sampler recomputes only the blocks a proposal can change.
+
+    def term_scalars(self, state: State):
+        return jnp.stack(
+            [
+                exponential_logpdf(1.0, state.birth),
+                exponential_logpdf(1.0, state.death),
+                exponential_logpdf(self.mean_root_height, state.rate_mean),
+                gamma_logpdf(1.5, 1.0 / 6.0, state.rate_var),
+            ]
+        )
+
+    def term_bd(self, state: State):
+        return birth_death.birth_death_terms(
+            state.heights, jnp.asarray(self.topo.parent),
+            jnp.asarray(self.topo.is_leaf), state.birth, state.death, 1.0,
+        )
+
+    def term_clock(self, state: State):
+        parent = jnp.asarray(self.topo.parent)
+        tl = H.branch_lengths(state.heights, parent)
+        return clocks.relaxed_clock_terms(
+            self.clock, state.rates, tl, parent >= 0, 1.0, state.rate_var
+        )
+
+    def term_nodes(self, state: State):
+        return node_priors.calibrate_constrain_brace_terms(
+            self.calibrations, self.constraints, self.braces,
+            state.heights, state.height,
+        )
+
+    @property
+    def term_block_sizes(self):
+        n = self.topo.n
+        nn = (
+            self.calibrations.n + self.constraints.n + self.braces.n
+        )
+        return (4, n + 1, n + 1, nn)
+
     def log_prior_terms(self, state: State):
         """Flat vector of log prior terms; ``sum == log_prior``.
 
@@ -95,29 +136,14 @@ class DatingModel:
         proposal are bitwise identical and cancel exactly, which keeps f32
         acceptance deltas accurate even when individual terms are huge.
         """
-        parent = jnp.asarray(self.topo.parent)
-        non_root = parent >= 0
-        scalars = jnp.stack(
+        return jnp.concatenate(
             [
-                exponential_logpdf(1.0, state.birth),
-                exponential_logpdf(1.0, state.death),
-                exponential_logpdf(self.mean_root_height, state.rate_mean),
-                gamma_logpdf(1.5, 1.0 / 6.0, state.rate_var),
+                self.term_scalars(state),
+                self.term_bd(state),
+                self.term_clock(state),
+                self.term_nodes(state),
             ]
         )
-        bd = birth_death.birth_death_terms(
-            state.heights, parent, jnp.asarray(self.topo.is_leaf),
-            state.birth, state.death, 1.0,
-        )
-        tl = H.branch_lengths(state.heights, parent)
-        clock = clocks.relaxed_clock_terms(
-            self.clock, state.rates, tl, non_root, 1.0, state.rate_var
-        )
-        nodes = node_priors.calibrate_constrain_brace_terms(
-            self.calibrations, self.constraints, self.braces,
-            state.heights, state.height,
-        )
-        return jnp.concatenate([scalars, bd, clock, nodes])
 
     # -- likelihood ----------------------------------------------------
 
