@@ -114,4 +114,7 @@ def birth_death_log(heights, parent, is_leaf, la, mu, rho, *, condition_mrca=Tru
     ``-inf`` — under jit, rejections replace the reference's ``error`` calls.
     """
     del condition_mrca  # Same computation either way for a zero stem.
-    return jnp.sum(birth_death_terms(heights, parent, is_leaf, la, mu, rho))
+    total = jnp.sum(birth_death_terms(heights, parent, is_leaf, la, mu, rho))
+    # Invalid rates produce NaN terms (e.g. log of a negative birth rate);
+    # the summed density is simply zero probability.
+    return jnp.where(jnp.isnan(total), -jnp.inf, total)

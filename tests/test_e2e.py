@@ -186,6 +186,19 @@ def test_init_from_save_cli(workdir):
     assert "Using tuning parameters from save." in log
 
 
+def test_hamiltonian_cli(workdir):
+    d, _ = workdir
+    _cli(
+        ["run", "-a", "ham", "--preparation-name", "an",
+         "--likelihood-spec", "full", "--hamiltonian",
+         "--profile", "--iterations", "60", "--chains", "2", "--seed", "9"],
+        cwd=str(d),
+    )
+    assert (d / "ham.params.monitor").exists()
+    n = sum(1 for _ in open(d / "ham.params.monitor"))
+    assert n > 10
+
+
 def test_mismatched_spec_fails(workdir):
     d, _ = workdir
     env = dict(os.environ)
