@@ -94,7 +94,7 @@ class MHKernel:
             )
 
         def step(carry, pidx):
-            batch, terms, d, y, tuning, acc, tot, keys = carry
+            batch, terms, d, y, tuning, acc, keys = carry
             keys2 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
             keys = keys2[:, 0]
             k_prop = keys2[:, 1]
@@ -184,8 +184,7 @@ class MHKernel:
             d = sel(d_new, d)
             y = sel(y + dy, y)
             acc = acc.at[:, pidx].add(accept.astype(acc.dtype))
-            tot = tot.at[:, pidx].add(1)
-            return (batch, terms, d, y, tuning, acc, tot, keys), None
+            return (batch, terms, d, y, tuning, acc, keys), None
 
         return step
 
@@ -220,7 +219,11 @@ class MHKernel:
         d0 = jax.vmap(lambda s: Hops.distances_internal(s, self.model.topo))(batch)
         lik_const = jnp.asarray(self.model.log_lik_const, dtype)
         acc = jnp.zeros((C, self.table.n_proposals), jnp.int32)
-        tot = jnp.zeros((C, self.table.n_proposals), jnp.int32)
+        # Attempts are deterministic: every ticket runs once per sweep.
+        tot = jnp.broadcast_to(
+            jnp.asarray(self.table.weight, jnp.int32) * n,
+            (C, self.table.n_proposals),
+        )
         key, k_chains = jax.random.split(key)
         chain_keys = jax.random.split(k_chains, C)
 
@@ -230,22 +233,22 @@ class MHKernel:
             return lp_pr, lp_lik
 
         def one_sweep(carry, key_s):
-            batch, terms, d, y, tuning, acc, tot, chain_keys = carry
+            batch, terms, d, y, tuning, acc, chain_keys = carry
             perm = jax.random.permutation(key_s, tickets)
-            c = (batch, terms, d, y, tuning, acc, tot, chain_keys)
+            c = (batch, terms, d, y, tuning, acc, chain_keys)
             c, _ = jax.lax.scan(step, c, perm)
-            batch, terms, d, y, tuning, acc, tot, chain_keys = c
+            batch, terms, d, y, tuning, acc, chain_keys = c
             if collect is not None:
                 lp_pr, lp_lik = lp_of(terms, y)
                 out = jax.vmap(collect, in_axes=(0, 0, 0))(batch, lp_pr, lp_lik)
             else:
                 out = None
-            return (batch, terms, d, y, tuning, acc, tot, chain_keys), out
+            return (batch, terms, d, y, tuning, acc, chain_keys), out
 
         sweep_keys = jax.random.split(key, n)
-        carry = (batch, terms, d0, y, tuning, acc, tot, chain_keys)
+        carry = (batch, terms, d0, y, tuning, acc, chain_keys)
         carry, outs = jax.lax.scan(one_sweep, carry, sweep_keys)
-        batch, terms, d, y, tuning, acc, tot, chain_keys = carry
+        batch, terms, d, y, tuning, acc, chain_keys = carry
         lp_pr, lp_lik = lp_of(terms, y)
         return batch, lp_pr, lp_lik, acc, tot, outs
 

@@ -21,6 +21,9 @@ from mcmcdate_tpu.tree import FlatTopology, parse_newick
 
 FOUR = "((a:0.5,b:0.5):0.5,(c:0.5,d:0.5):0.5):0.0;"
 
+# Importance-sampling golden values (see tests/test_engine.py).
+GOLD = dict(hx=0.41182, birth=0.92615)
+
 
 def test_nuts_gaussian():
     """NUTS on a 4-dim correlated Gaussian: mean/marginal sds recovered."""
@@ -95,6 +98,69 @@ def test_nuts_proposal_on_model():
     assert not np.allclose(h, np.asarray(b0.heights))  # free coords moved
     assert np.all(np.asarray(batch.height) == 1.0)  # uncalibrated: height fixed
     assert 0.0 <= astat <= 1.0
+
+
+def test_mc3_cold_chain_marginals():
+    """The MC3 cold chain (with heated companions and swaps) must target the
+    same posterior: prior-only golden marginals within MC error."""
+    from mcmcdate_tpu.engine import mc3
+    from mcmcdate_tpu.engine import proposals as P2
+
+    t, topo, model = _prior_model()
+    tb = P2.build_proposal_table(topo, model.braces, False)
+    table = P2.ProposalTable(
+        tb.kind, tb.node, tb.aux, tb.par, tb.weight, tb.dim,
+        np.zeros_like(tb.root_jac), tb.names, tb.tickets,
+        tb.d_class, tb.d_lo, tb.didx, tb.prior_class,
+    )
+    kern = mh.MHKernel(model, table)
+    n_groups, n_temps = 8, 4
+    total = n_groups * n_temps
+    state = init_state(t, topo, dtype=jnp.float32)
+    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (total,) + x.shape), state)
+    r = np.random.default_rng(0).gamma(5.0, 0.2, size=(total, topo.n))
+    r[:, 0] = 1.0
+    batch = batch.replace(rates=jnp.asarray(r, jnp.float32))
+    tuning = jnp.ones((total, table.n_proposals), jnp.float32)
+    targets = jnp.asarray(table.target_rates(), jnp.float32)
+    tmax = jnp.asarray(table.tune_max(), jnp.float32)
+    betas = jnp.asarray(np.tile(mc3.temperature_ladder(n_temps), n_groups),
+                        jnp.float32)
+    swap_fn = mc3.make_swap_fn(model, n_groups, n_temps, jnp.float32)
+    coll = lambda s, a, b: dict(hx=s.heights[1], birth=s.birth)
+    chunk = jax.jit(
+        lambda b, tu, k: kern.sweeps(
+            b, tu, k, 10, beta=betas, beta_prior=betas, collect=coll
+        )
+    )
+    key = jax.random.PRNGKey(5)
+    srates = []
+    for w in range(30):
+        key, k1, k2 = jax.random.split(key, 3)
+        batch, _, _, acc, tot, _ = chunk(batch, tuning, k1)
+        batch, sr = swap_fn(batch, k2)
+        srates.append(float(sr))
+        tuning = mh.tune_step(
+            tuning, acc.astype(jnp.float32), tot.astype(jnp.float32),
+            targets, tune_max=tmax,
+        )
+    cold = slice(0, total, n_temps)
+    hx, births = [], []
+    for w in range(120):
+        key, k1, k2 = jax.random.split(key, 3)
+        batch, _, _, acc, tot, outs = chunk(batch, tuning, k1)
+        batch, sr = swap_fn(batch, k2)
+        hx.append(np.asarray(outs["hx"])[:, cold])
+        births.append(np.asarray(outs["birth"])[:, cold])
+    hx = np.concatenate(hx, axis=0)
+    births = np.concatenate(births, axis=0)
+    # Swaps actually happen.
+    assert 0.05 < np.mean(srates) < 1.0
+    for draws, gold in ((hx, GOLD["hx"]), (births, GOLD["birth"])):
+        per_chain = draws.mean(axis=0)
+        se = max(per_chain.std() / np.sqrt(n_groups), 1e-9)
+        z = (draws.mean() - gold) / se
+        assert abs(z) < 6.0, (draws.mean(), gold, z)
 
 
 def test_stepping_stone_no_likelihood_is_zero():
