@@ -124,6 +124,9 @@ def _add_run_args(p: argparse.ArgumentParser):
                    help="override the default iteration count")
     p.add_argument("--out-dir", default=".")
     p.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    p.add_argument("--trace-dir", metavar="DIR",
+                   help="capture a JAX/XLA profiler trace of the sampling "
+                        "phase into DIR (open with TensorBoard/Perfetto)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -321,13 +324,23 @@ def cmd_run(args):
                 else "Cycle has changed, start with untuned proposals."
             )
             init_from = (state0, tuning0 if same else None, same)
-        if args.mc3:
-            run_mc3(model, init, settings, hamiltonian=args.hamiltonian, log=log)
-        else:
-            run_analysis(
-                model, init, settings, init_from=init_from,
-                hamiltonian=args.hamiltonian, log=log,
-            )
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+        if getattr(args, "trace_dir", None):
+            import jax
+
+            log(f"Capturing profiler trace to {args.trace_dir}.")
+            ctx = jax.profiler.trace(args.trace_dir)
+        with ctx:
+            if args.mc3:
+                run_mc3(model, init, settings, hamiltonian=args.hamiltonian,
+                        log=log)
+            else:
+                run_analysis(
+                    model, init, settings, init_from=init_from,
+                    hamiltonian=args.hamiltonian, log=log,
+                )
     finally:
         log.close()
 
