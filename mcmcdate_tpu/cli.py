@@ -371,6 +371,10 @@ def cmd_marginal_likelihood(args):
     try:
         model, init = _load_model(args, log)
         settings = _settings(args)
+        # Reference default: 4000 iterations per stepping stone
+        # (iterationsMarginalLh, app/Definitions.hs:447-449).
+        if args.iterations is None:
+            settings.iterations = 50 if args.profile else 4000
         run_marginal_likelihood(model, init, settings, profile=args.profile, log=log)
     finally:
         log.close()
