@@ -18,9 +18,7 @@ state.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, List, Optional, Tuple
 
 import jax
