@@ -372,6 +372,27 @@ def test_clock_golden_values():
     assert lp == pytest.approx(want, abs=1e-7)
 
 
+def test_pallas_whitened_residual():
+    """The Pallas MXU kernel must match the XLA path (it is the template for
+    the planned fused sweep kernels; XLA remains the default for DC_FULL)."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("Pallas TPU kernel requires a TPU device")
+    from mcmcdate_tpu.ops.pallas_kernels import whitened_residual_pallas
+
+    rng = np.random.default_rng(0)
+    C, K = 64, 300
+    d = jnp.asarray(rng.normal(size=(C, K)), jnp.float32)
+    mu = jnp.asarray(rng.normal(size=K), jnp.float32)
+    L = jnp.asarray(
+        np.tril(rng.normal(size=(K, K)) / np.sqrt(K)) + np.eye(K), jnp.float32
+    )
+    y1 = np.asarray(jax.jit(lambda d: whitened_residual_pallas(d, mu, L))(d))
+    y2 = np.asarray((d - mu) @ L)
+    assert np.max(np.abs(y1 - y2)) / np.abs(y2).max() < 1e-4
+
+
 def test_root_branch_jacobian():
     model, state = _model()
     rb = float(H.root_branch(state, model.topo))
