@@ -381,16 +381,20 @@ def test_pallas_whitened_residual():
         pytest.skip("Pallas TPU kernel requires a TPU device")
     from mcmcdate_tpu.ops.pallas_kernels import whitened_residual_pallas
 
-    rng = np.random.default_rng(0)
-    C, K = 64, 300
-    d = jnp.asarray(rng.normal(size=(C, K)), jnp.float32)
-    mu = jnp.asarray(rng.normal(size=K), jnp.float32)
-    L = jnp.asarray(
-        np.tril(rng.normal(size=(K, K)) / np.sqrt(K)) + np.eye(K), jnp.float32
-    )
-    y1 = np.asarray(jax.jit(lambda d: whitened_residual_pallas(d, mu, L))(d))
-    y2 = np.asarray((d - mu) @ L)
-    assert np.max(np.abs(y1 - y2)) / np.abs(y2).max() < 1e-4
+    # Mosaic lowering rejects the x64-mode (int64) grid indices; the kernel
+    # (like the whole sampler) is an f32 path.
+    with jax.enable_x64(False):
+        rng = np.random.default_rng(0)
+        C, K = 64, 300
+        d = jnp.asarray(rng.normal(size=(C, K)), jnp.float32)
+        mu = jnp.asarray(rng.normal(size=K), jnp.float32)
+        L = jnp.asarray(
+            np.tril(rng.normal(size=(K, K)) / np.sqrt(K)) + np.eye(K),
+            jnp.float32,
+        )
+        y1 = np.asarray(jax.jit(lambda d: whitened_residual_pallas(d, mu, L))(d))
+        y2 = np.asarray((d - mu) @ L)
+        assert np.max(np.abs(y1 - y2)) / np.abs(y2).max() < 1e-4
 
 
 def test_root_branch_jacobian():
