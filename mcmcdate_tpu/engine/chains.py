@@ -183,12 +183,16 @@ class ChainRunner:
 
     def sample(self, batch, tuning, key, iterations, monitor: Optional[MonitorWriter],
                start_iteration: int = 0, on_checkpoint: Optional[Callable] = None):
-        """Sampling phase with monitors (chain 0) and periodic checkpoints."""
+        """Sampling phase with monitors (chain 0), cross-chain scalar draws
+        for convergence diagnostics, and periodic checkpoints."""
         if self.nuts is not None and self.nuts._step is None:
             self.nuts.build(jax.tree.map(lambda x: x[0], batch))
         it = start_iteration
         t0 = time.time()
         next_save = it + self.s.save_period
+        scalar_names = ("birth", "death", "height", "rate_mean", "rate_var",
+                        "lp_post")
+        draws = {k: [] for k in scalar_names}
         while it < start_iteration + iterations:
             n = min(CHUNK, start_iteration + iterations - it)
             batch, key, acc, tot, outs_all = self._run_window(
@@ -199,6 +203,8 @@ class ChainRunner:
                     # outs leaves are [sweeps, chains, ...]; monitor chain 0.
                     rows = jax.tree.map(lambda x: np.asarray(x[:, 0]), outs)
                     monitor.write_rows(it, rows)
+                    for k2 in scalar_names:
+                        draws[k2].append(np.asarray(outs[k2]))
             it += n
             if on_checkpoint is not None and it >= next_save:
                 on_checkpoint(batch, tuning, key, it)
@@ -209,7 +215,30 @@ class ChainRunner:
             f"sampling: {iterations} iterations x {self.s.n_chains} chains in "
             f"{time.time() - t0:.1f}s"
         )
+        self._write_diagnostics(draws)
         return batch, tuning, key
+
+    def _write_diagnostics(self, draws):
+        """Cross-chain R-hat / bulk ESS over the scalar parameters; the
+        reference delegates this to external R scripts
+        (bench/comparison_with_mcmctree/README.md:265-269)."""
+        if not draws or not next(iter(draws.values())):
+            return
+        from .diagnostics import summarize
+
+        samples = {
+            k: np.concatenate(v, axis=0) for k, v in draws.items() if v
+        }
+        self.log("convergence diagnostics (all chains):")
+        table = summarize(samples, log=self.log)
+        path = f"{self.s.out_dir}/{self.s.analysis_name}.diagnostics.tsv"
+        with open(path, "w") as fh:
+            fh.write("Parameter\tMean\tSD\tESS\tRhat\n")
+            for k, s in table.items():
+                fh.write(
+                    f"{k}\t{s['mean']:.6g}\t{s['sd']:.6g}\t{s['ess']:.1f}\t"
+                    f"{s['rhat']:.4f}\n"
+                )
 
 
 def run_analysis(

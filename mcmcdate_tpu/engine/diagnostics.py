@@ -114,11 +114,15 @@ def summarize(samples: dict, log=print) -> dict:
         x = np.asarray(x)
         if x.ndim == 1:
             x = x[:, None]
+        finite = np.all(np.isfinite(x))
+        constant = finite and np.all(x == x.ravel()[0])
         out[name] = dict(
-            mean=float(x.mean()),
-            sd=float(x.std()),
-            ess=ess(x),
-            rhat=rhat(x) if x.shape[1] > 1 else float("nan"),
+            mean=float(x.mean()) if finite else float(x[np.isfinite(x)].mean())
+            if np.any(np.isfinite(x)) else float("nan"),
+            sd=float(x.std()) if finite else float("nan"),
+            ess=float(x.size) if constant else (ess(x) if finite else float("nan")),
+            rhat=float("nan") if (constant or not finite or x.shape[1] < 2)
+            else rhat(x),
         )
         s = out[name]
         log(
