@@ -31,16 +31,57 @@ def exponential_logpdf(rate, x):
     return jnp.where(x >= 0, jnp.log(rate) - rate * x, -jnp.inf)
 
 
+def _log1pmx(u):
+    """``log(1+u) - u``, accurate near ``u = 0`` (direct evaluation loses all
+    relative precision there; the leading term is ``-u^2/2``)."""
+    small = jnp.abs(u) < 0.35
+    us = jnp.where(small, u, 0.0)
+    # alternating series -u^2/2 + u^3/3 - ... ; |u|<0.35 keeps the u^9 tail
+    # far below the densities' useful precision once multiplied by shape
+    ser = -(us * us) * (
+        1.0 / 2.0
+        - us * (1.0 / 3.0 - us * (1.0 / 4.0 - us * (1.0 / 5.0 - us * (
+            1.0 / 6.0 - us * (1.0 / 7.0 - us / 8.0)))))
+    )
+    ub = jnp.where(small, 0.5, u)  # dead-branch guard for log
+    return jnp.where(small, ser, jnp.log1p(ub) - ub)
+
+
 def gamma_logpdf(shape, scale, x):
     """Gamma distribution with given shape and SCALE (mean = shape*scale).
 
     Matches the Haskell ``statistics`` package ``gammaDistr`` used by the
     reference's priors and scale-proposal kernels
     (lib/Mcmc/Tree/Proposal/Unconstrained.hs:102).
+
+    For large shape ``k`` the textbook form loses everything to f32
+    cancellation (terms scale like ``k log k``; at ``k ~ 1e13`` — an
+    uncorrelated-gamma clock with collapsed variance — the error reaches
+    ``1e9`` and creates a fake absorbing state for the sampler).  We switch
+    to the Stirling-cancelled form around the mean ``m = k*scale``::
+
+        lp = 1/2 log k - log(sqrt 2pi) - log m - log d
+             + k*(log d - d + 1) - 1/(12k) + O(1/k^3),   d = x/m
+
+    which is computed entirely from O(1)-sized quantities.
     """
-    ok = (x > 0) & jnp.isfinite(x)
+    ok = (x > 0) & jnp.isfinite(x) & jnp.isfinite(shape) & (shape > 0)
     xs = jnp.where(ok, x, 1.0)  # avoid NaN in log for the dead branch
-    lp = (shape - 1.0) * jnp.log(xs) - xs / scale - shape * jnp.log(scale) - gammaln(shape)
+    ks = jnp.where(ok, shape, 1.0)
+    naive = (ks - 1.0) * jnp.log(xs) - xs / scale - ks * jnp.log(scale) - gammaln(ks)
+    big = ks > 1e2
+    kb = jnp.where(big, ks, 1e2)
+    m = kb * scale
+    d = xs / m
+    stable = (
+        0.5 * jnp.log(kb)
+        - LN_SQRT_2PI
+        - jnp.log(m)
+        - jnp.log(d)
+        + kb * _log1pmx(d - 1.0)
+        - 1.0 / (12.0 * kb)
+    )
+    lp = jnp.where(big, stable, naive)
     return jnp.where(ok, lp, -jnp.inf)
 
 

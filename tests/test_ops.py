@@ -171,6 +171,35 @@ def test_gamma_logpdf():
     assert float(dists.gamma_logpdf(k, th, -1.0)) == -np.inf
 
 
+def test_gamma_logpdf_extreme_shape_f32():
+    """Regression: the textbook gamma logpdf loses everything to f32
+    cancellation at large shape (observed +5.2e9 garbage for a collapsed
+    clock variance v=1.5e-13, i.e. shape ~ 6.6e12, which glued the sampler
+    to a fake absorbing state).  The stable Stirling-cancelled branch must
+    agree with f64 scipy within ~0.05 nats near the mean across 10 decades
+    of shape."""
+    from scipy import stats
+
+    for shape in [2e2, 1e4, 1e7, 1e10, 6.6e12]:
+        scale = 1.0 / shape  # mean 1
+        for x in [1.0, 1.0 + 3.0 / math.sqrt(shape), 0.9, 1.2]:
+            x32 = float(np.float32(x))  # what the engine actually stores
+            got = float(
+                dists.gamma_logpdf(
+                    jnp.float32(shape), jnp.float32(scale), jnp.float32(x32)
+                )
+            )
+            want = stats.gamma.logpdf(x32, a=shape, scale=scale)
+            # near the peak: absolute agreement; in the far tail the value
+            # is astronomically negative and only the sign/scale matters
+            if want > -1e4:
+                assert abs(got - want) < 0.05, (shape, x, got, want)
+            else:
+                assert got == pytest.approx(want, rel=1e-3)
+    # shape=inf (variance underflow) must reject, not NaN
+    assert float(dists.gamma_logpdf(jnp.float32(np.inf), 1e-30, 1.0)) == -np.inf
+
+
 def test_lognormal_mean_param():
     # logNormal' has mean exactly `m`: check by numerical integration.
     m, v = 1.3, 0.7
