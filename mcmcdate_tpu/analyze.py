@@ -16,6 +16,7 @@ trees-monitor-to-nexus, trees-midpoint-root, tree-identify — SURVEY.md §2.3):
 from __future__ import annotations
 
 import csv
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -130,41 +131,109 @@ def to_nexus(path: str, out_path: str) -> int:
     return len(trees)
 
 
-def midpoint_root(tree: Node) -> Node:
-    """Root at the midpoint of the longest leaf-to-leaf path."""
-    from .tree.rose import outgroup
+def densitree_prep(path: str, out_path: str, thin_by: int = 5) -> int:
+    """Produce the densitree-viewer input for a tree monitor.
 
-    # Longest path via two sweeps of leaf depths per candidate split is
-    # overkill here; use pairwise distances through the flat topology.
-    topo = FlatTopology.from_tree(tree)
-    lens = np.fromiter((n.length for n in tree.preorder()), float)
-    # depth of each node from root
-    d = np.zeros(topo.n)
-    for i in range(1, topo.n):
-        d[i] = d[topo.parent[i]] + lens[i]
-    leaves = np.asarray(topo.leaf_nodes)
-    best = (0.0, None, None)
-    for a in leaves:
-        for b in leaves:
-            if a >= b:
-                continue
-            # mrca: walk up
-            pa = set()
-            x = int(a)
-            while x != -1:
-                pa.add(x)
-                x = int(topo.parent[x])
-            x = int(b)
-            while x not in pa:
-                x = int(topo.parent[x])
-            dist = d[a] + d[b] - 2 * d[x]
+    Mirrors scripts/trees-monitor-densitree: thin the monitor by ``thin_by``
+    (trace-thin), convert to a Nexus trees block (trees-monitor-to-nexus),
+    and return the number of trees written.  The actual rendering is done by
+    an external densitree viewer on the produced ``.nex`` file, exactly as
+    in the reference workflow.
+    """
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".monitor", delete=False) as tf:
+        tmp = tf.name
+    try:
+        thin(path, tmp, thin_by)
+        return to_nexus(tmp, out_path)
+    finally:
+        os.unlink(tmp)
+
+
+def midpoint_root(tree: Node) -> Node:
+    """Root at the midpoint of the longest leaf-to-leaf path.
+
+    True midpoint rooting (scripts/trees-midpoint-root): un-root, find the
+    tree diameter (the longest leaf-to-leaf path), locate the edge on that
+    path containing the halfway point, and create the new bifurcating root
+    ON that edge, splitting its length so both new root branches reach their
+    deepest leaves at equal distance.
+    """
+    from .tree.rose import _reverse_up, _unroot
+
+    u = _unroot(tree.copy())
+    parent_map = {}
+    for node in u.preorder():
+        for c in node.children:
+            parent_map[id(c)] = node
+
+    # Distances from the (arbitrary) unrooted-representation root.
+    depth = {id(u): 0.0}
+    for node in u.preorder():
+        for c in node.children:
+            depth[id(c)] = depth[id(node)] + c.length
+
+    def ancestors(n: Node):
+        out = [n]
+        while id(n) in parent_map:
+            n = parent_map[id(n)]
+            out.append(n)
+        return out
+
+    leaves = u.leaves()
+    best = (-1.0, None, None, None)
+    anc = {id(a): ancestors(a) for a in leaves}
+    for i, a in enumerate(leaves):
+        seen = {id(x) for x in anc[id(a)]}
+        for b in leaves[i + 1:]:
+            m = next(x for x in anc[id(b)] if id(x) in seen)
+            dist = depth[id(a)] + depth[id(b)] - 2 * depth[id(m)]
             if dist > best[0]:
-                best = (dist, int(a), int(b))
-    _, a, b = best
-    # Root on the side of the deeper leaf's subtree of size 1 — a simple
-    # heuristic consistent with midpoint rooting for monitor post-processing.
-    name_a = topo.names[a]
-    return outgroup(tree, frozenset([name_a]))
+                best = (dist, a, b, m)
+    dist, a, b, m = best
+    if dist <= 0:
+        return tree.copy()
+    half = dist / 2.0
+
+    # Walk a -> mrca -> b; find the edge containing the halfway point.  Each
+    # edge is identified by its LOWER node (the child in the rooted
+    # representation); record the midpoint's offset from that child end.
+    up_path = []  # edges from a up to mrca (child nodes)
+    x = a
+    while x is not m:
+        up_path.append(x)
+        x = parent_map[id(x)]
+    down_path = []  # edges from mrca down to b, in walk order
+    x = b
+    while x is not m:
+        down_path.append(x)
+        x = parent_map[id(x)]
+    down_path.reverse()
+
+    s = 0.0
+    edge_child, off_child = None, 0.0
+    for c in up_path:  # walking child -> parent
+        if s + c.length >= half:
+            edge_child, off_child = c, half - s
+            break
+        s += c.length
+    if edge_child is None:
+        for c in down_path:  # walking parent -> child
+            if s + c.length >= half:
+                edge_child, off_child = c, c.length - (half - s)
+                break
+            s += c.length
+    assert edge_child is not None
+
+    # Re-root on that edge (same surgery as rose.outgroup).
+    total = edge_child.length
+    p = parent_map[id(edge_child)]
+    p.children = [c for c in p.children if c is not edge_child]
+    rest = _reverse_up(p, parent_map, u)
+    edge_child.length = off_child
+    rest.length = total - off_child
+    return Node(0.0, "", [edge_child, rest])
 
 
 def identify(tree: Node) -> Node:

@@ -348,18 +348,45 @@ def cmd_run(args):
 def cmd_continue(args):
     from .engine import checkpoint as ckpt
     from .engine.chains import run_analysis
+    from .engine.mc3 import N_TEMPS, run_mc3
 
     log = Tee(os.path.join(args.out_dir, args.analysis_name + ".continue.log"))
     try:
+        # The run's precision comes from the checkpoint, not the flag; x64
+        # must be enabled BEFORE any jnp array is built from the save.
+        import json
+
+        with open(os.path.join(args.out_dir,
+                               ckpt.meta_file(args.analysis_name))) as fh:
+            if json.load(fh).get("dtype") == "float64":
+                import jax
+
+                jax.config.update("jax_enable_x64", True)
+                args.dtype = "float64"
         model, init = _load_model(args, log)
         settings = _settings(args, continue_mode=True)
         state, tuning, key, meta = ckpt.load(args.analysis_name, in_dir=args.out_dir)
+        settings.dtype = str(np.asarray(state.heights).dtype)
         log(f"Continuing from iteration {meta['iteration']}.")
-        run_analysis(
-            model, init, settings,
-            continue_from=(state, tuning, key, meta["iteration"]),
-            hamiltonian=args.hamiltonian, log=log,
-        )
+        # A run saved with the NUTS move continues with it.
+        args.hamiltonian = args.hamiltonian or bool(meta.get("hamiltonian"))
+        if meta.get("mc3"):
+            # An --mc3 analysis must continue as MC3 (mc3Load,
+            # app/Main.hs:505-509) — the saved batch is groups x temps.
+            log("Saved chain is an MC3 run; continuing with MC3.")
+            settings.n_chains = meta.get(
+                "n_groups", state.heights.shape[0] // N_TEMPS
+            )
+            run_mc3(
+                model, init, settings, hamiltonian=args.hamiltonian,
+                continue_from=(state, tuning, key, meta["iteration"]), log=log,
+            )
+        else:
+            run_analysis(
+                model, init, settings,
+                continue_from=(state, tuning, key, meta["iteration"]),
+                hamiltonian=args.hamiltonian, log=log,
+            )
     finally:
         log.close()
 
@@ -375,7 +402,8 @@ def cmd_marginal_likelihood(args):
         # (iterationsMarginalLh, app/Definitions.hs:447-449).
         if args.iterations is None:
             settings.iterations = 50 if args.profile else 4000
-        run_marginal_likelihood(model, init, settings, profile=args.profile, log=log)
+        run_marginal_likelihood(model, init, settings, profile=args.profile,
+                                hamiltonian=args.hamiltonian, log=log)
     finally:
         log.close()
 
@@ -396,6 +424,10 @@ def main(argv=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_comp"))
     args = build_parser().parse_args(argv)
+    if getattr(args, "dtype", None) == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if args.mode in ("prepare", "run", "continue", "marginal-likelihood"):
         _apply_conf(args)
         if args.analysis_name is None:

@@ -59,6 +59,25 @@ class ChainRunner:
         self._chunk_collect_fn = None
         self.nuts = None  # set by run_analysis when --hamiltonian
         self._nuts_astats: list = []
+        # Chain-data-parallel mesh over all local devices (SURVEY.md §2.5):
+        # the sweep program is pure data-parallel over chains, so sharding
+        # the batch's leading axis partitions it with zero communication;
+        # only MC3 swaps and pooled diagnostics cross shards.
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and settings.n_chains % n_dev == 0:
+            from ..parallel.mesh import chain_mesh
+
+            self.mesh = chain_mesh(n_dev)
+            log(f"sharding {settings.n_chains} chains over {n_dev} devices")
+
+    def maybe_shard(self, batch, tuning):
+        """Shard the chain batch + tuning over the local device mesh."""
+        if self.mesh is None:
+            return batch, tuning
+        from ..parallel.mesh import shard_chains
+
+        return shard_chains(batch, self.mesh), shard_chains(tuning, self.mesh)
 
     # -- device programs ----------------------------------------------
 
@@ -81,9 +100,22 @@ class ChainRunner:
             lp_clock=m.log_prior_relaxed_clock(state),
         )
 
-    def chunk_fn(self, collect: bool):
-        """Jitted: run CHUNK sweeps for the whole chain batch."""
+    def chunk_fn(self, collect: bool, with_nuts: bool = False):
+        """Jitted: run CHUNK sweeps for the whole chain batch.  With NUTS,
+        ``eps`` / ``inv_mass`` are traced arguments so per-window adaptation
+        never recompiles."""
         coll = self._collect if collect else None
+
+        if with_nuts:
+            move = self.nuts.move
+
+            def run_nuts(batch, tuning, key, eps, inv_mass):
+                return self.kern.sweeps(
+                    batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll,
+                    nuts_move=move, nuts_eps=eps, nuts_inv_mass=inv_mass,
+                )
+
+            return jax.jit(run_nuts)
 
         def run(batch, tuning, key):
             return self.kern.sweeps(
@@ -92,14 +124,13 @@ class ChainRunner:
 
         return jax.jit(run)
 
-    def _get_chunk(self, collect: bool):
-        if collect:
-            if self._chunk_collect_fn is None:
-                self._chunk_collect_fn = self.chunk_fn(True)
-            return self._chunk_collect_fn
-        if self._chunk_fn is None:
-            self._chunk_fn = self.chunk_fn(False)
-        return self._chunk_fn
+    def _get_chunk(self, collect: bool, with_nuts: bool = False):
+        key = (collect, with_nuts)
+        if not hasattr(self, "_chunk_cache"):
+            self._chunk_cache = {}
+        if key not in self._chunk_cache:
+            self._chunk_cache[key] = self.chunk_fn(collect, with_nuts)
+        return self._chunk_cache[key]
 
     # -- phases --------------------------------------------------------
 
@@ -123,22 +154,30 @@ class ChainRunner:
         tuning = jnp.ones((C, self.table.n_proposals), self.dtype)
         return batch, tuning
 
-    def _run_window(self, batch, tuning, key, n_sweeps, collect=False):
+    def _run_window(self, batch, tuning, key, n_sweeps, collect=False,
+                    use_nuts=None):
         """Run ``n_sweeps`` (multiple of CHUNK, padded up) sweeps; returns
-        accumulated per-chain acceptance counts and optional collected rows."""
+        accumulated per-chain acceptance counts and optional collected rows.
+
+        ``use_nuts`` overrides whether the NUTS in-cycle move fires (fast
+        burn-in windows exclude it, like the engine's fast-only windows)."""
         C = self.s.n_chains
-        fn = self._get_chunk(collect)
+        with_nuts = self.nuts is not None if use_nuts is None else use_nuts
+        fn = self._get_chunk(collect, with_nuts)
         n_chunks = max(1, (n_sweeps + CHUNK - 1) // CHUNK)
         acc_sum = jnp.zeros((C, self.table.n_proposals), jnp.int32)
         tot_sum = jnp.zeros((C, self.table.n_proposals), jnp.int32)
         outs_all = []
         for _ in range(n_chunks):
             key, k = jax.random.split(key)
-            batch, lp_pr, lp_lik, acc, tot, outs = fn(batch, tuning, k)
-            if self.nuts is not None:
-                key, k2 = jax.random.split(key)
-                batch, astat = self.nuts.step(batch, k2)
-                self._nuts_astats.append(astat)
+            if with_nuts:
+                eps, im = self.nuts.params()
+                batch, lp_pr, lp_lik, acc, tot, outs, astats = fn(
+                    batch, tuning, k, eps, im
+                )
+                self._nuts_astats.append(float(jnp.mean(astats)))
+            else:
+                batch, lp_pr, lp_lik, acc, tot, outs = fn(batch, tuning, k)
             acc_sum = acc_sum + acc
             tot_sum = tot_sum + tot
             if collect:
@@ -147,18 +186,18 @@ class ChainRunner:
 
     def burn_in(self, batch, tuning, key):
         """Custom auto-tuning windows (BurnInWithCustomAutoTuning)."""
+        batch, tuning = self.maybe_shard(batch, tuning)
         bi = self.s.burn_in
         done = 0
         t0 = time.time()
-        if self.nuts is not None:
-            self.nuts.build(jax.tree.map(lambda x: x[0], batch))
         for kind, windows in (("fast", bi.fast), ("slow", bi.slow)):
             for w in windows:
                 # Fast windows run without the (slow) NUTS move, like the
                 # engine's fast-proposal-only windows.
-                nuts, self.nuts = self.nuts, (self.nuts if kind == "slow" else None)
-                batch, key, acc, tot, _ = self._run_window(batch, tuning, key, w)
-                self.nuts = nuts
+                batch, key, acc, tot, _ = self._run_window(
+                    batch, tuning, key, w,
+                    use_nuts=(self.nuts is not None and kind == "slow"),
+                )
                 tuning = jax.vmap(
                     lambda tu, a, to: tune_step(
                         tu, a.astype(self.dtype), to.astype(self.dtype),
@@ -179,14 +218,14 @@ class ChainRunner:
                 )
         if self.nuts is not None:
             self.nuts.finalize_adaptation()
+            self.log(f"NUTS adaptation: eps {self.nuts.eps:.5f}")
         return batch, tuning, key
 
     def sample(self, batch, tuning, key, iterations, monitor: Optional[MonitorWriter],
                start_iteration: int = 0, on_checkpoint: Optional[Callable] = None):
         """Sampling phase with monitors (chain 0), cross-chain scalar draws
         for convergence diagnostics, and periodic checkpoints."""
-        if self.nuts is not None and self.nuts._step is None:
-            self.nuts.build(jax.tree.map(lambda x: x[0], batch))
+        batch, tuning = self.maybe_shard(batch, tuning)
         it = start_iteration
         t0 = time.time()
         next_save = it + self.s.save_period
@@ -215,6 +254,13 @@ class ChainRunner:
             f"sampling: {iterations} iterations x {self.s.n_chains} chains in "
             f"{time.time() - t0:.1f}s"
         )
+        if self.nuts is not None and self._nuts_astats:
+            self.log(
+                f"NUTS in-cycle move: mean acceptance statistic "
+                f"{float(np.mean(self._nuts_astats)):.3f} over "
+                f"{len(self._nuts_astats)} chunks (eps {self.nuts.eps:.5f})"
+            )
+            self._nuts_astats = []
         self._write_diagnostics(draws)
         return batch, tuning, key
 
@@ -262,20 +308,29 @@ def run_analysis(
     )
     runner = ChainRunner(model, table, settings, log=log)
     if hamiltonian:
-        from .hmc import NUTSProposal
+        from .hmc import NutsInCycle
 
-        runner.nuts = NUTSProposal(model, settings)
+        runner.nuts = NutsInCycle(model, dtype=runner.dtype)
     key = jax.random.PRNGKey(settings.seed if settings.seed is not None else 42)
 
     def do_checkpoint(batch, tuning, k, it):
         ckpt.save(
             settings.analysis_name, batch, tuning, k, it, table.n_proposals,
             out_dir=settings.out_dir,
+            extra={"hamiltonian": True} if runner.nuts is not None else None,
+            extra_arrays=(
+                runner.nuts.state_arrays() if runner.nuts is not None else None
+            ),
         )
         log(f"checkpoint at iteration {it}")
 
     if continue_from is not None:
         batch, tuning, key, start_it = continue_from
+        if runner.nuts is not None:
+            runner.nuts.restore(ckpt.load_arrays(
+                settings.analysis_name, ("nuts_eps", "nuts_inv_mass"),
+                in_dir=settings.out_dir,
+            ))
         monitor = MonitorWriter(
             model, settings.analysis_name, settings.out_dir,
             period=settings.monitor_period, log=log,

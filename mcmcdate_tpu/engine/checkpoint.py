@@ -42,6 +42,7 @@ def save(
     n_proposals: int,
     out_dir: str = ".",
     extra: Optional[dict] = None,
+    extra_arrays: Optional[dict] = None,
 ):
     arrays = {
         "birth": np.asarray(state.birth),
@@ -54,12 +55,15 @@ def save(
         "tuning": np.asarray(tuning),
         "key": np.asarray(key),
     }
+    if extra_arrays:
+        arrays.update({k: np.asarray(v) for k, v in extra_arrays.items()})
     path = os.path.join(out_dir, checkpoint_file(analysis_name))
     np.savez_compressed(path, **arrays)
     meta = {
         "format_version": FORMAT_VERSION,
         "iteration": int(iteration),
         "n_proposals": int(n_proposals),
+        "dtype": str(np.asarray(state.heights).dtype),
     }
     if extra:
         meta.update(extra)
@@ -67,10 +71,19 @@ def save(
         json.dump(meta, fh)
 
 
-def load(analysis_name: str, dtype=jnp.float32, in_dir: str = "."):
-    """Returns (state, tuning, key, meta)."""
+def load(analysis_name: str, dtype=None, in_dir: str = "."):
+    """Returns (state, tuning, key, meta).
+
+    ``dtype=None`` restores the precision the run was saved with (recorded
+    in the JSON sidecar; falls back to the npz array dtype for pre-v2
+    checkpoints), so continuing an f64 run never silently downcasts.
+    """
     path = os.path.join(in_dir, checkpoint_file(analysis_name))
+    with open(os.path.join(in_dir, meta_file(analysis_name))) as fh:
+        meta = json.load(fh)
     with np.load(path) as z:
+        if dtype is None:
+            dtype = np.dtype(meta.get("dtype", str(z["heights"].dtype)))
         state = State(
             birth=jnp.asarray(z["birth"], dtype),
             death=jnp.asarray(z["death"], dtype),
@@ -82,6 +95,11 @@ def load(analysis_name: str, dtype=jnp.float32, in_dir: str = "."):
         )
         tuning = jnp.asarray(z["tuning"], dtype)
         key = jnp.asarray(z["key"])
-    with open(os.path.join(in_dir, meta_file(analysis_name))) as fh:
-        meta = json.load(fh)
     return state, tuning, key, meta
+
+
+def load_arrays(analysis_name: str, names, in_dir: str = ".") -> dict:
+    """Fetch extra saved arrays (e.g. NUTS adaptation state) by name."""
+    path = os.path.join(in_dir, checkpoint_file(analysis_name))
+    with np.load(path) as z:
+        return {n: np.asarray(z[n]) for n in names if n in z.files}

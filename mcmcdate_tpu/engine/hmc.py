@@ -216,6 +216,44 @@ def nuts_kernel(logp_fn, max_depth: int = MAX_DEPTH):
     return step
 
 
+def make_in_cycle_move(model: DatingModel, max_depth: int = MAX_DEPTH):
+    """NUTS as an IN-CYCLE move for the jitted sweep (weight 1, once per
+    sweep — Definitions.hs:274-278, Hamiltonian.hs:94-105).
+
+    Returns ``(move, coords)`` where ``move(batch, key, eps, inv_mass,
+    beta_lik, beta_prior) -> (batch', accept_stat[C])`` runs one vmapped
+    NUTS step per chain inside the sweep program.  ``beta_lik`` /
+    ``beta_prior`` may be scalars or per-chain vectors (MC3 heats the whole
+    posterior, stepping-stone only the likelihood); the target includes the
+    root-branch Jacobian, untempered (HTarget, Hamiltonian.hs:85-92).
+    """
+    coords = FlatCoords(model, model.calibrations_available)
+    topo = model.topo
+
+    def move(batch, key, eps, inv_mass, beta_lik=1.0, beta_prior=1.0):
+        C = batch.heights.shape[0]
+        dtype = batch.heights.dtype
+        keys = jax.random.split(key, C)
+        bl = jnp.broadcast_to(jnp.asarray(beta_lik, dtype), (C,))
+        bp = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
+
+        def one(s, k, bl1, bp1):
+            def logp(v):
+                st = coords.from_vector(s, v)
+                lp = bp1 * model.log_prior(st) + bl1 * model.log_likelihood(st)
+                lp = lp + log_jacobian_root_branch(st, topo)
+                return jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+
+            kern = nuts_kernel(logp, max_depth)
+            q = coords.to_vector(s)
+            q2, astat, _ = kern(k, q, eps, inv_mass)
+            return coords.from_vector(s, q2), astat
+
+        return jax.vmap(one)(batch, keys, bl, bp)
+
+    return move, coords
+
+
 # ---------------------------------------------------------------------------
 # Adaptation
 # ---------------------------------------------------------------------------
@@ -251,6 +289,55 @@ class DualAveraging:
     @property
     def final_eps(self) -> float:
         return float(np.exp(self.log_eps_bar))
+
+
+class NutsInCycle:
+    """Host-side adaptation wrapper around :func:`make_in_cycle_move`.
+
+    The move itself runs inside the jitted sweep; ``eps`` and ``inv_mass``
+    are passed as device arrays so adaptation never recompiles.  Step size
+    adapts by dual averaging toward 0.8 acceptance during burn-in windows;
+    the diagonal mass matrix from cross-chain coordinate variances
+    (HTuneLeapfrog + HTuneAllMasses, Hamiltonian.hs:62-63).
+    """
+
+    def __init__(self, model: DatingModel, dtype=jnp.float32):
+        self.model = model
+        self.move, self.coords = make_in_cycle_move(model)
+        self.dtype = dtype
+        self.eps = 0.01
+        self.da = DualAveraging.init(self.eps)
+        self.inv_mass = np.ones(self.coords.dim)
+
+    def params(self):
+        return (
+            jnp.asarray(self.eps, self.dtype),
+            jnp.asarray(self.inv_mass, self.dtype),
+        )
+
+    def adapt(self, accept_stat: float, warmup_vectors=None):
+        self.eps, self.da = self.da.update(accept_stat)
+        if warmup_vectors is not None and len(warmup_vectors) >= 4:
+            var = np.var(np.asarray(warmup_vectors), axis=0) + 1e-6
+            self.inv_mass = var
+
+    def finalize_adaptation(self):
+        self.eps = self.da.final_eps
+
+    # -- checkpoint plumbing -------------------------------------------
+
+    def state_arrays(self) -> dict:
+        return {
+            "nuts_eps": np.asarray(self.eps),
+            "nuts_inv_mass": np.asarray(self.inv_mass),
+        }
+
+    def restore(self, arrays: dict):
+        if "nuts_eps" in arrays:
+            self.eps = float(arrays["nuts_eps"])
+            self.da = DualAveraging.init(self.eps)
+        if "nuts_inv_mass" in arrays:
+            self.inv_mass = np.asarray(arrays["nuts_inv_mass"])
 
 
 class NUTSProposal:

@@ -90,12 +90,16 @@ def run_mc3(
     settings: RunSettings,
     *,
     hamiltonian: bool = False,
+    continue_from=None,
     log=print,
 ):
     """Full MC3 run: burn-in with tuning, then sampling with swaps.
 
     ``settings.n_chains`` is the number of independent MC3 GROUPS; the total
-    vmapped batch is ``n_chains * 4``.
+    vmapped batch is ``n_chains * 4``.  ``continue_from = (state, tuning,
+    key, iteration)`` resumes a previous MC3 save (the reference's
+    ``mc3Load`` path, app/Main.hs:505-509): burn-in is skipped and monitors
+    append.
     """
     table = props.build_proposal_table(
         model.topo, model.braces, model.calibrations_available
@@ -111,32 +115,89 @@ def run_mc3(
     runner.beta_lik = betas_flat
     runner.beta_prior = betas_flat
 
-    batch, tuning = runner.init_chains(init)
-    key = jax.random.PRNGKey(settings.seed if settings.seed is not None else 42)
+    if continue_from is not None:
+        state0, tuning0, key0, start_it = continue_from
+        batch = jax.tree.map(lambda x: jnp.asarray(x, dtype), state0)
+        if batch.heights.shape[0] != total:
+            raise SystemExit(
+                f"MC3 continue: saved batch has {batch.heights.shape[0]} "
+                f"chains, expected {total} ({n_groups} groups x {N_TEMPS})"
+            )
+        tuning = jnp.asarray(tuning0, dtype)
+        key = jnp.asarray(key0)
+    else:
+        start_it = 0
+        batch, tuning = runner.init_chains(init)
+        key = jax.random.PRNGKey(
+            settings.seed if settings.seed is not None else 42
+        )
+    batch, tuning = runner.maybe_shard(batch, tuning)
     swap_fn = make_swap_fn(model, n_groups, N_TEMPS, dtype)
+    tune_max = jnp.asarray(table.tune_max(), dtype)
 
     kern = runner.kern
-    chunk = jax.jit(
-        lambda b, tu, k: kern.sweeps(
-            b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
-            collect=runner._collect,
+    nuts = None
+    if hamiltonian:
+        # NUTS rides in the cycle of every heated chain; the target of
+        # chain k is beta_k * (prior + likelihood) + root Jacobian.
+        from .hmc import NutsInCycle
+
+        nuts = NutsInCycle(model, dtype=dtype)
+        if continue_from is not None:
+            nuts.restore(ckpt.load_arrays(
+                settings.analysis_name, ("nuts_eps", "nuts_inv_mass"),
+                in_dir=settings.out_dir,
+            ))
+        move = nuts.move
+        chunk = jax.jit(
+            lambda b, tu, k, eps, im: kern.sweeps(
+                b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
+                collect=runner._collect,
+                nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
+            )
         )
-    )
+    else:
+        chunk = jax.jit(
+            lambda b, tu, k: kern.sweeps(
+                b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
+                collect=runner._collect,
+            )
+        )
 
     monitor = MonitorWriter(
         model, settings.analysis_name, settings.out_dir,
         period=settings.monitor_period, log=log,
-    ).open()
+    ).open(mode="a" if continue_from is not None else "w")
+
+    mc3_meta = {"mc3": True, "n_groups": n_groups, "n_temps": N_TEMPS}
+    if hamiltonian:
+        mc3_meta["hamiltonian"] = True
+
+    def do_checkpoint(it):
+        ckpt.save(
+            settings.analysis_name, batch, tuning, key, it,
+            table.n_proposals, out_dir=settings.out_dir, extra=mc3_meta,
+            extra_arrays=nuts.state_arrays() if nuts is not None else None,
+        )
 
     def phase(n_iters, tune_every, collect_monitor, start_it):
         nonlocal batch, tuning, key
         it = start_it
+        next_save = it + settings.save_period
         acc_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
         tot_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
         swap_rates = []
+        astats = []
         while it < start_it + n_iters:
             key, k1, k2 = jax.random.split(key, 3)
-            batch, lp_pr, lp_lik, acc, tot, outs = chunk(batch, tuning, k1)
+            if nuts is not None:
+                eps, im = nuts.params()
+                batch, lp_pr, lp_lik, acc, tot, outs, ast = chunk(
+                    batch, tuning, k1, eps, im
+                )
+                astats.append(float(jnp.mean(ast)))
+            else:
+                batch, lp_pr, lp_lik, acc, tot, outs = chunk(batch, tuning, k1)
             batch, srate = swap_fn(batch, k2)
             swap_rates.append(float(srate))
             acc_sum += acc
@@ -151,24 +212,35 @@ def run_mc3(
                     acc_sum.astype(dtype),
                     tot_sum.astype(dtype),
                     jnp.asarray(table.target_rates(), dtype),
+                    tune_max=tune_max,
                 )
                 acc_sum = jnp.zeros_like(acc_sum)
                 tot_sum = jnp.zeros_like(tot_sum)
+                if nuts is not None and astats:
+                    nuts.adapt(float(np.mean(astats)))
+                    astats = []
+            if collect_monitor and it >= next_save:
+                do_checkpoint(it)
+                next_save = it + settings.save_period
         return float(np.mean(swap_rates)) if swap_rates else 0.0
 
     log(f"MC3: {n_groups} groups x {N_TEMPS} temperatures "
         f"(betas {temperature_ladder().round(3).tolist()})")
-    log(f"burn-in: {settings.burn_in.total} iterations")
-    done = 0
-    for w in settings.burn_in.fast + settings.burn_in.slow:
-        sr = phase(w, tune_every=w, collect_monitor=False, start_it=done)
-        done += w
-        log(f"burn-in window {w}: {done}/{settings.burn_in.total}, swap rate {sr:.2f}")
-    sr = phase(settings.iterations, tune_every=0, collect_monitor=True, start_it=0)
+    if continue_from is None:
+        log(f"burn-in: {settings.burn_in.total} iterations")
+        done = 0
+        for w in settings.burn_in.fast + settings.burn_in.slow:
+            sr = phase(w, tune_every=w, collect_monitor=False, start_it=done)
+            done += w
+            log(f"burn-in window {w}: {done}/{settings.burn_in.total}, "
+                f"swap rate {sr:.2f}")
+        if nuts is not None:
+            nuts.finalize_adaptation()
+            log(f"NUTS adaptation: eps {nuts.eps:.5f}")
+    else:
+        log(f"Continuing MC3 from iteration {start_it}.")
+    sr = phase(settings.iterations, tune_every=0, collect_monitor=True,
+               start_it=start_it)
     log(f"sampling done; swap acceptance rate {sr:.2f}")
-    ckpt.save(
-        settings.analysis_name, batch, tuning, key, settings.iterations,
-        table.n_proposals, out_dir=settings.out_dir,
-        extra={"mc3": True, "n_groups": n_groups, "n_temps": N_TEMPS},
-    )
+    do_checkpoint(start_it + settings.iterations)
     monitor.close()

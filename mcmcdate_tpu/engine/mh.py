@@ -61,12 +61,16 @@ class MHKernel:
         root_jac = jnp.asarray(self.table.root_jac)
 
         use_lik = self.model.likelihood.kind != mvn_mod.NONE
+        diag_lik = self.model.likelihood.kind == mvn_mod.UNIVARIATE
         if use_lik:
             D = self.model.likelihood.dim
             PAD = 1025
             mu_int = jnp.asarray(self.model.mu_internal, dtype)
-            L = jnp.asarray(self.model.chol_internal, dtype)
-            L_pad = jnp.concatenate([L, jnp.zeros((PAD, D), dtype)], axis=0)
+            if diag_lik:
+                inv_sd = jnp.asarray(self.model.inv_sd_internal, dtype)
+            else:
+                L = jnp.asarray(self.model.chol_internal, dtype)
+                L_pad = jnp.concatenate([L, jnp.zeros((PAD, D), dtype)], axis=0)
             if self.table.d_class is not None:
                 d_class = jnp.asarray(self.table.d_class)
                 d_lo = jnp.asarray(self.table.d_lo)
@@ -122,38 +126,46 @@ class MHKernel:
                     lambda s: Hops.distances_internal(s, topo)
                 )(state_new)
                 delta = d2 - d
-                C = delta.shape[0]
-                delta_pad = jnp.pad(delta, ((0, 0), (0, PAD)))
+                if diag_lik:
+                    # Diagonal model: the whitening is elementwise, O(N) —
+                    # no Cholesky, no matmul (Probability.hs:186-193).
+                    # ``delta`` is already zero outside touched entries, so
+                    # every likelihood class collapses to one expression.
+                    dy = delta * inv_sd
+                    d_new = d2
+                else:
+                    C = delta.shape[0]
+                    delta_pad = jnp.pad(delta, ((0, 0), (0, PAD)))
 
-                def br_inv(_):
-                    return jnp.zeros_like(y), d
+                    def br_inv(_):
+                        return jnp.zeros_like(y), d
 
-                def br_full(_):
-                    y2 = (d2 - mu_int) @ L
-                    return y2 - y, d2
+                    def br_full(_):
+                        y2 = (d2 - mu_int) @ L
+                        return y2 - y, d2
 
-                def br_gather(_):
-                    idx = didx[pidx]
-                    dy = delta_pad[:, idx] @ L_pad[idx, :]
-                    return dy, d2
-
-                def mk_range(B):
-                    def br(_):
-                        lo = d_lo[pidx]
-                        zero = jnp.zeros((), lo.dtype)
-                        sl = jax.lax.dynamic_slice(delta_pad, (zero, lo), (C, B))
-                        Lr = jax.lax.dynamic_slice(L_pad, (lo, zero), (B, D))
-                        dy = sl @ Lr + delta[:, 0:1] @ L[0:1, :]
+                    def br_gather(_):
+                        idx = didx[pidx]
+                        dy = delta_pad[:, idx] @ L_pad[idx, :]
                         return dy, d2
 
-                    return br
+                    def mk_range(B):
+                        def br(_):
+                            lo = d_lo[pidx]
+                            zero = jnp.zeros((), lo.dtype)
+                            sl = jax.lax.dynamic_slice(delta_pad, (zero, lo), (C, B))
+                            Lr = jax.lax.dynamic_slice(L_pad, (lo, zero), (B, D))
+                            dy = sl @ Lr + delta[:, 0:1] @ L[0:1, :]
+                            return dy, d2
 
-                dy, d_new = jax.lax.switch(
-                    d_class[pidx],
-                    [br_inv, br_full, br_gather,
-                     mk_range(64), mk_range(256), mk_range(1024)],
-                    None,
-                )
+                        return br
+
+                    dy, d_new = jax.lax.switch(
+                        d_class[pidx],
+                        [br_inv, br_full, br_gather,
+                         mk_range(64), mk_range(256), mk_range(1024)],
+                        None,
+                    )
                 d_lik = -0.5 * jnp.sum(dy * (2.0 * y + dy), axis=-1)
             else:
                 dy = jnp.zeros_like(y)
@@ -195,6 +207,9 @@ class MHKernel:
         beta=1.0,
         beta_prior=1.0,
         collect: Optional[Callable] = None,
+        nuts_move: Optional[Callable] = None,
+        nuts_eps=None,
+        nuts_inv_mass=None,
     ):
         """``n`` sweeps under one jit for a chain batch.
 
@@ -204,6 +219,14 @@ class MHKernel:
         prior (MC3 heats the whole posterior).  ``collect(state, lp_pr,
         lp_lik) -> pytree`` (single-chain) is vmapped and stacked per sweep.
         Returns ``(batch, lp_pr, lp_lik, acc, tot, outs)``.
+
+        ``nuts_move`` (from :func:`..hmc.make_in_cycle_move`) adds NUTS as a
+        weight-1 in-cycle move, fired once per sweep after the shuffled
+        tickets (Definitions.hs:274-278) with step size ``nuts_eps`` and
+        diagonal ``nuts_inv_mass`` passed as device arrays.  The carried
+        incremental quantities are refreshed after the move (one full
+        recomputation per sweep).  With ``nuts_move`` the return gains a
+        seventh element: per-sweep NUTS acceptance statistics ``[n, C]``.
         """
         from ..ops import heights as Hops
 
@@ -236,19 +259,35 @@ class MHKernel:
             c = (batch, terms, d, y, tuning, acc, chain_keys)
             c, _ = jax.lax.scan(step, c, perm)
             batch, terms, d, y, tuning, acc, chain_keys = c
+            if nuts_move is not None:
+                k_nuts = jax.random.fold_in(key_s, 7)
+                batch, astat = nuts_move(
+                    batch, k_nuts, nuts_eps, nuts_inv_mass, beta, beta_prior
+                )
+                # NUTS moved most coordinates: refresh the carried
+                # incremental quantities (one full recompute per sweep).
+                terms = jax.vmap(self.model.log_prior_terms)(batch)
+                d = jax.vmap(
+                    lambda s: Hops.distances_internal(s, self.model.topo)
+                )(batch)
+                y = jax.vmap(self.model.whitened_residual_internal)(batch)
+            else:
+                astat = jnp.zeros(batch.heights.shape[0], dtype)
             if collect is not None:
                 lp_pr, lp_lik = lp_of(terms, y)
                 out = jax.vmap(collect, in_axes=(0, 0, 0))(batch, lp_pr, lp_lik)
             else:
                 out = None
-            return (batch, terms, d, y, tuning, acc, chain_keys), out
+            return (batch, terms, d, y, tuning, acc, chain_keys), (out, astat)
 
         sweep_keys = jax.random.split(key, n)
         carry = (batch, terms, d0, y, tuning, acc, chain_keys)
-        carry, outs = jax.lax.scan(one_sweep, carry, sweep_keys)
+        carry, (outs, astats) = jax.lax.scan(one_sweep, carry, sweep_keys)
         batch, terms, d, y, tuning, acc, chain_keys = carry
         lp_pr, lp_lik = lp_of(terms, y)
-        return batch, lp_pr, lp_lik, acc, tot, outs
+        if nuts_move is None:
+            return batch, lp_pr, lp_lik, acc, tot, outs
+        return batch, lp_pr, lp_lik, acc, tot, outs, astats
 
 
 def tune_step(tuning, acc, tot, targets, rate=1.0, tune_max=None):

@@ -57,6 +57,7 @@ def run_marginal_likelihood(
     settings: RunSettings,
     *,
     profile: bool = False,
+    hamiltonian: bool = False,
     log=print,
 ) -> MarginalLikelihoodResult:
     table = props.build_proposal_table(
@@ -70,18 +71,40 @@ def run_marginal_likelihood(
     betas = jnp.asarray(beta_ladder(n_points), dtype)
 
     batch, tuning = runner.init_chains(init)
+    batch, tuning = runner.maybe_shard(batch, tuning)
     key = jax.random.PRNGKey(settings.seed if settings.seed is not None else 42)
     kern = runner.kern
 
-    chunk_plain = jax.jit(
-        lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
-    )
-    chunk_ll = jax.jit(
-        lambda b, tu, k: kern.sweeps(
-            b, tu, k, CHUNK, beta=betas,
-            collect=lambda s, lp_pr, lp_lik: lp_lik,
+    nuts = None
+    if hamiltonian:
+        # NUTS per stone: target = prior + beta_k * likelihood.
+        from .hmc import NutsInCycle
+
+        nuts = NutsInCycle(model, dtype=dtype)
+        move = nuts.move
+        chunk_plain = jax.jit(
+            lambda b, tu, k, eps, im: kern.sweeps(
+                b, tu, k, CHUNK, beta=betas,
+                nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
+            )
         )
-    )
+        chunk_ll = jax.jit(
+            lambda b, tu, k, eps, im: kern.sweeps(
+                b, tu, k, CHUNK, beta=betas,
+                collect=lambda s, lp_pr, lp_lik: lp_lik,
+                nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
+            )
+        )
+    else:
+        chunk_plain = jax.jit(
+            lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
+        )
+        chunk_ll = jax.jit(
+            lambda b, tu, k: kern.sweeps(
+                b, tu, k, CHUNK, beta=betas,
+                collect=lambda s, lp_pr, lp_lik: lp_lik,
+            )
+        )
 
     targets = jnp.asarray(table.target_rates(), dtype)
     burn = (REPETITIVE_BURN_IN_PROF if profile else REPETITIVE_BURN_IN)
@@ -96,23 +119,42 @@ def run_marginal_likelihood(
     for w in bi.fast + bi.slow + burn.fast + burn.slow:
         n_chunks = max(1, w // CHUNK)
         acc_s = tot_s = 0
+        astats = []
         for _ in range(n_chunks):
             key, k = jax.random.split(key)
-            batch, lp_pr, lp_lik, acc, tot, _ = chunk_plain(batch, tuning, k)
+            if nuts is not None:
+                eps, im = nuts.params()
+                batch, lp_pr, lp_lik, acc, tot, _, ast = chunk_plain(
+                    batch, tuning, k, eps, im
+                )
+                astats.append(float(jnp.mean(ast)))
+            else:
+                batch, lp_pr, lp_lik, acc, tot, _ = chunk_plain(batch, tuning, k)
             acc_s = acc_s + acc
             tot_s = tot_s + tot
         tuning = tune_step(
             tuning, acc_s.astype(dtype), tot_s.astype(dtype), targets,
             tune_max=tmax,
         )
+        if nuts is not None and astats:
+            nuts.adapt(float(np.mean(astats)))
         done += w
+    if nuts is not None:
+        nuts.finalize_adaptation()
+        log(f"NUTS adaptation: eps {nuts.eps:.5f}")
 
     # Sampling: collect per-point log likelihoods.
     lls = []
     it = 0
     while it < iters:
         key, k = jax.random.split(key)
-        batch, lp_pr, lp_lik, acc, tot, out = chunk_ll(batch, tuning, k)
+        if nuts is not None:
+            eps, im = nuts.params()
+            batch, lp_pr, lp_lik, acc, tot, out, _ = chunk_ll(
+                batch, tuning, k, eps, im
+            )
+        else:
+            batch, lp_pr, lp_lik, acc, tot, out = chunk_ll(batch, tuning, k)
         lls.append(np.asarray(out))  # [CHUNK, n_points]
         it += CHUNK
     ll = np.concatenate(lls, axis=0)  # [iters, n_points]

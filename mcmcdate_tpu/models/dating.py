@@ -165,15 +165,24 @@ class DatingModel:
 
     @cached_property
     def chol_internal(self) -> Optional[np.ndarray]:
-        """Lower Cholesky of the internally-permuted precision (or the
-        diagonal scale for the univariate kind), recomputed in f64."""
-        if self.likelihood.kind == mvn.NONE:
+        """Lower Cholesky of the internally-permuted precision, recomputed
+        in f64.  ``None`` for the univariate/none kinds — the univariate
+        model is diagonal and must never materialize an O(N^2) matrix
+        (the reference evaluates it in O(N), Probability.hs:186-193); use
+        :attr:`inv_sd_internal` instead."""
+        if self.likelihood.kind in (mvn.NONE, mvn.UNIVARIATE):
             return None
         perm = self.topo.ref_to_internal_perm
-        if self.likelihood.kind == mvn.UNIVARIATE:
-            return np.diag(1.0 / np.sqrt(self.likelihood.variances[perm]))
         prec = self.likelihood.precision[np.ix_(perm, perm)]
         return np.linalg.cholesky(prec)
+
+    @cached_property
+    def inv_sd_internal(self) -> Optional[np.ndarray]:
+        """Univariate kind: per-distance ``1/sd`` in the internal layout."""
+        if self.likelihood.kind != mvn.UNIVARIATE:
+            return None
+        perm = self.topo.ref_to_internal_perm
+        return 1.0 / np.sqrt(self.likelihood.variances[perm])
 
     def whitened_residual_internal(self, state: State):
         """Internal-layout residual ``y``; same ||y||^2 as
@@ -184,6 +193,8 @@ class DatingModel:
             return jnp.zeros(0, dtype)
         d = H.distances_internal(state, self.topo)
         mu = jnp.asarray(self.mu_internal, dtype)
+        if self.likelihood.kind == mvn.UNIVARIATE:
+            return (d - mu) * jnp.asarray(self.inv_sd_internal, dtype)
         return (d - mu) @ jnp.asarray(self.chol_internal, dtype)
 
     def whitened_residual(self, state: State):

@@ -1,0 +1,314 @@
+"""Per-proposal-kind exact-invariance tests (Jacobian isolation).
+
+Each proposal kernel, together with its log MHG factor (Hastings ratio +
+map Jacobian), must leave its target distribution invariant.  The combined
+e2e tests can hide a compensating-error pair across the 17 kinds; here each
+kind is isolated:
+
+  1. Draw an ensemble X_0 ~ q (a simple exactly-known sampler over valid
+     states) and compute importance weights w = pi(X_0)/q(X_0) against the
+     row's target pi (the model prior, times the root-branch Jacobian
+     factor for rows flagged root_jac — mirroring ``liftProposalWith
+     jacobianRootBranch``, app/Definitions.hs:154-166).
+  2. Apply T rounds of the SINGLE-KIND Metropolis kernel to each member.
+  3. The weighted ensemble represents pi before AND after iff the kernel is
+     pi-invariant; a wrong MHG exponent produces a systematic drift in the
+     weighted means far exceeding the paired standard error.
+
+This requires no ergodicity of the isolated kernel and is sensitive to
+exactly the quantity under test (the acceptance factor).
+
+The two deliberate deviations from the reference's recorded exponents are
+adjudicated at the bottom: running the same harness with the REFERENCE
+exponents (Unconstrained.hs:321-326 for scaleVarianceAndTree,
+Contrary.hs:182-189 for slideRootContrarily) must break invariance, while
+the repo's exact determinants keep it.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mcmcdate_tpu.engine import proposals as P
+from mcmcdate_tpu.io.specs import (
+    load_braces_json,
+    load_calibrations_csv,
+    load_constraints_csv,
+)
+from mcmcdate_tpu.models import DatingModel
+from mcmcdate_tpu.models.state import State
+from mcmcdate_tpu.ops import mvn
+from mcmcdate_tpu.tree import FlatTopology, parse_newick
+
+EIGHT = ("(((a:0.25,b:0.25):0.35,(c:0.3,d:0.3):0.3):0.4,"
+         "((e:0.2,f:0.2):0.5,(g:0.35,h:0.35):0.35):0.3);")
+
+M = 4096  # ensemble size
+T = 30    # kernel applications per row
+
+
+def _quiet(*a, **k):
+    pass
+
+
+@pytest.fixture(scope="module")
+def setup():
+    t = parse_newick(EIGHT)
+    topo = FlatTopology.from_tree(t)
+    cal = load_calibrations_csv(
+        "Name,LeafA,LeafB,Lower,LowerPM,Upper,UpperPM\n"
+        "Root,a,h,0.7,0.1,1.3,0.1\n",
+        t, topo, is_text=True, log=_quiet,
+    )
+    con = load_constraints_csv(
+        "Name,YoungA,YoungB,OldA,OldB,PM\n"
+        "C1,a,b,e,f,0.1\n",
+        t, topo, is_text=True, log=_quiet,
+    )
+    br = load_braces_json(
+        json.dumps([{
+            "braceDataName": "B1",
+            "braceDataNodes": [["a", "b"], ["c", "d"]],
+            "braceDataStandardDeviation": 0.25,
+        }]),
+        t, topo, is_text=True, log=_quiet,
+    )
+    model = DatingModel(
+        topo=topo, likelihood=mvn.LikelihoodData.none(),
+        calibrations=cal, constraints=con, braces=br,
+        mean_root_height=1.0,
+    )
+    table = P.build_proposal_table(topo, br, calibrations_available=True)
+    kernels = P.make_kernel_switch(topo, br)
+    batch, logq = _sample_q(topo, M, seed=5)
+    return model, table, kernels, batch, logq
+
+
+def _sample_q(topo, m, seed):
+    """Exact sampler over valid states with known log density.
+
+    Heights: top-down, each inner node Uniform(0, h_parent) (valid because
+    children are sampled after parents and leaves sit at 0).
+    """
+    rng = np.random.default_rng(seed)
+    n = topo.n
+    parent = np.asarray(topo.parent)
+    is_leaf = np.asarray(topo.is_leaf)
+    h = np.zeros((m, n))
+    h[:, 0] = 1.0
+    logq = np.zeros(m)
+    for i in range(1, n):
+        if is_leaf[i]:
+            continue
+        hp = h[:, parent[i]]
+        h[:, i] = rng.uniform(0.0, hp)
+        logq -= np.log(hp)
+    from math import lgamma
+
+    birth = rng.exponential(1.0, m)
+    death = rng.exponential(1.0, m)
+    logq += -birth - death  # Exp(1) log densities (normalized)
+    rate_mean = rng.exponential(1.0, m)
+    logq += -rate_mean
+    # Gamma(1.5, scale 1/6) log pdf, normalized.
+    rate_var = rng.gamma(1.5, 1.0 / 6.0, m)
+    logq += (0.5 * np.log(rate_var) - 6.0 * rate_var
+             + 1.5 * np.log(6.0) - lgamma(1.5))
+    height = rng.uniform(0.5, 1.5, m)
+    logq += np.log(1.0 / 1.0)  # uniform over an interval of length 1
+    # Rates iid Gamma(shape 4, scale 1/4).
+    rates = rng.gamma(4.0, 0.25, (m, n))
+    rates[:, 0] = 1.0
+    lq_r = (3.0 * np.log(rates[:, 1:]) - rates[:, 1:] / 0.25
+            - 4.0 * np.log(0.25) - lgamma(4.0))
+    logq += lq_r.sum(axis=1)
+    batch = State(
+        birth=jnp.asarray(birth), death=jnp.asarray(death),
+        height=jnp.asarray(height), heights=jnp.asarray(h),
+        rate_mean=jnp.asarray(rate_mean), rate_var=jnp.asarray(rate_var),
+        rates=jnp.asarray(rates),
+    )
+    return batch, jnp.asarray(logq)
+
+
+def _stats(model):
+    topo = model.topo
+    inner = jnp.asarray([i for i in np.asarray(topo.inner_nodes) if i != 0])
+
+    def s(state):
+        return jnp.concatenate([
+            jnp.stack([
+                state.birth, state.death, state.height,
+                state.rate_mean, state.rate_var,
+                jnp.mean(state.heights[inner]),
+                jnp.mean(state.rates[1:]),
+                jnp.log(state.rate_mean + 1e-12),
+            ]),
+            state.heights[inner],
+            state.rates[1:5],
+        ])
+
+    return s
+
+
+def run_kind(model, table, kernels, batch, logq, kind,
+             mhg_adjust=None, t_rounds=T):
+    """Apply T rounds of the single-kind Metropolis kernel; return the
+    importance-weighted drift of each statistic in units of its paired SE,
+    plus the IS effective sample size.
+
+    The acceptance uses the PLAIN model prior as target (no root-branch
+    Jacobian factor): the kernel's log MHG must make it p-invariant for any
+    p; the root-jac factor is a model-level semantic applied by the sweep
+    engine, orthogonal to the map determinant isolated here.
+    """
+    rows = np.nonzero(np.asarray(table.kind) == kind)[0]
+    assert len(rows) > 0, f"no rows of kind {kind}"
+    node = jnp.asarray(np.asarray(table.node)[rows])
+    aux = jnp.asarray(np.asarray(table.aux)[rows])
+    par = jnp.asarray(np.asarray(table.par)[rows])
+
+    s_fn = _stats(model)
+    kern = kernels[kind]
+
+    def lp_fn(state):
+        out = model.log_prior(state)
+        return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    def step(state, key, r):
+        k1, k2 = jax.random.split(key)
+        new, log_mhg = kern(state, k1, 1.0, node[r], aux[r], par[r])
+        if mhg_adjust is not None:
+            log_mhg = log_mhg + mhg_adjust(state, new)
+        la = lp_fn(new) - lp_fn(state) + log_mhg
+        la = jnp.where(jnp.isnan(la), -jnp.inf, la)
+        acc = jnp.log(jax.random.uniform(k2, dtype=la.dtype)) < la
+        return jax.tree.map(
+            lambda a, b: jnp.where(acc, a, b), new, state,
+        )
+
+    n_rows = len(rows)
+
+    def chain(state, key):
+        def body(c, kr):
+            st = c
+            k, r = kr
+            return step(st, k, r), None
+
+        keys = jax.random.split(key, t_rounds * n_rows)
+        rs = jnp.tile(jnp.arange(n_rows), t_rounds)
+        st, _ = jax.lax.scan(body, state, (keys, rs))
+        return st
+
+    key = jax.random.PRNGKey(kind + 100)
+    keys = jax.random.split(key, M)
+    final = jax.jit(jax.vmap(chain))(batch, keys)
+
+    s0 = jax.vmap(s_fn)(batch)
+    s1 = jax.vmap(s_fn)(final)
+
+    # Importance weights against the model prior.
+    def lp0_fn(st):
+        out = model.log_prior(st)
+        return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    lp0 = jax.vmap(lp0_fn)(batch)
+    lw = lp0 - logq
+    lw = jnp.where(jnp.isfinite(lw), lw, -jnp.inf)
+    w = jnp.exp(lw - jnp.max(lw))
+    w = np.asarray(w)
+    ess = float(w.sum() ** 2 / (w * w).sum())
+
+    d = np.asarray(s1 - s0)
+    wm = (w[:, None] * d).sum(0) / w.sum()
+    var = (w[:, None] ** 2 * (d - wm) ** 2).sum(0) / w.sum() ** 2
+    se = np.sqrt(var) + 1e-12
+    return wm / se, wm, se, ess
+
+
+KINDS = {
+    "scale_scalar": P.K_SCALE_SCALAR,
+    "scale_height_ratemean_contra": P.K_SCALE_HEIGHT_RATEMEAN_CONTRA,
+    "slide_node_ultra": P.K_SLIDE_NODE_ULTRA,
+    "scale_subtree_ultra": P.K_SCALE_SUBTREE_ULTRA,
+    "pulley_ultra": P.K_PULLEY_ULTRA,
+    "scale_branch_rate": P.K_SCALE_BRANCH_RATE,
+    "scale_subtree_rate": P.K_SCALE_SUBTREE_RATE,
+    "scale_norm_rate_tree_contra": P.K_SCALE_NORM_RATE_TREE_CONTRA,
+    "scale_var_rate_tree": P.K_SCALE_VAR_RATE_TREE,
+    "scale_var_rate_tree_autocorr": P.K_SCALE_VAR_RATE_TREE_AUTOCORR,
+    "slide_nodes_contra": P.K_SLIDE_NODES_CONTRA,
+    "scale_subtrees_contra": P.K_SCALE_SUBTREES_CONTRA,
+    "slide_root_contra": P.K_SLIDE_ROOT_CONTRA,
+    "scale_norm_height_rate_tree_contra":
+        P.K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA,
+    "scale_rates_time_tree_contra": P.K_SCALE_RATES_TIME_TREE_CONTRA,
+    "slide_braced_ultra": P.K_SLIDE_BRACED_ULTRA,
+    "slide_braced_contra": P.K_SLIDE_BRACED_CONTRA,
+}
+
+# Max |drift|/SE across statistics for a correct kernel: the paired
+# z-scores are approximately standard normal; with ~17 stats a bound of 6
+# gives a comfortably small false-alarm rate while wrong exponents show
+# z in the tens to hundreds (see the adjudication tests).
+Z_BOUND = 6.0
+
+
+@pytest.mark.parametrize("name", list(KINDS))
+def test_kind_invariance(setup, name):
+    model, table, kernels, batch, logq = setup
+    z, wm, se, ess = run_kind(model, table, kernels, batch, logq, KINDS[name])
+    assert ess > 150, f"IS ensemble too degenerate (ESS {ess:.0f})"
+    zmax = float(np.abs(z).max())
+    assert zmax < Z_BOUND, (
+        f"{name}: invariance violated, max |drift|/SE = {zmax:.1f} "
+        f"(drift {wm[np.abs(z).argmax()]:.4g})"
+    )
+
+
+def test_adjudicate_scale_var_rate_tree(setup):
+    """Reference exponent (Unconstrained.hs:321-326): jacobian
+    n*log(u - u/n + 1/n) plus u^2 for the variance, replacing the exact
+    determinant u^(n+1).  The harness must reject it and accept ours."""
+    model, table, kernels, batch, logq = setup
+    n = model.topo.n - 1
+
+    def ref_adjust(old, new):
+        u = jnp.sqrt(new.rate_var / old.rate_var)
+        ours = (n + 1) * jnp.log(u)
+        ref = 2.0 * jnp.log(u) + n * jnp.log(u - u / n + 1.0 / n)
+        return ref - ours
+
+    z_ours, *_ = run_kind(model, table, kernels, batch, logq,
+                          P.K_SCALE_VAR_RATE_TREE)
+    z_ref, *_ = run_kind(model, table, kernels, batch, logq,
+                         P.K_SCALE_VAR_RATE_TREE, mhg_adjust=ref_adjust)
+    assert float(np.abs(z_ours).max()) < Z_BOUND
+    assert float(np.abs(z_ref).max()) > 2 * Z_BOUND, (
+        "reference exponent unexpectedly also satisfies invariance: "
+        f"max z = {float(np.abs(z_ref).max()):.1f}"
+    )
+
+
+def test_adjudicate_slide_root_contra(setup):
+    """Reference exponent (Contrary.hs:182-189): u^(-nInner) on the inner
+    heights, but only nInner-1 coordinates are actually scaled (the
+    relative root height is pinned at 1)."""
+    model, table, kernels, batch, logq = setup
+
+    def ref_adjust(old, new):
+        u = new.height / old.height
+        return -jnp.log(u)  # ref has one extra factor of 1/u
+
+    z_ours, *_ = run_kind(model, table, kernels, batch, logq,
+                          P.K_SLIDE_ROOT_CONTRA)
+    z_ref, *_ = run_kind(model, table, kernels, batch, logq,
+                         P.K_SLIDE_ROOT_CONTRA, mhg_adjust=ref_adjust)
+    assert float(np.abs(z_ours).max()) < Z_BOUND
+    assert float(np.abs(z_ref).max()) > 2 * Z_BOUND, (
+        "reference exponent unexpectedly also satisfies invariance: "
+        f"max z = {float(np.abs(z_ref).max()):.1f}"
+    )
