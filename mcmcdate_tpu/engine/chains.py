@@ -40,6 +40,7 @@ class RunSettings:
     seed: Optional[int] = None
     dtype: str = "float32"
     beta: float = 1.0  # likelihood tempering (stepping stone / MC3)
+    fast_sweep: bool = True  # ticket-batched sweep (engine/fast_sweep.py)
 
 
 class ChainRunner:
@@ -51,7 +52,16 @@ class ChainRunner:
         self.table = table
         self.s = settings
         self.log = log
-        self.kern = MHKernel(model, table)
+        from ..ops import mvn as _mvn
+
+        if settings.fast_sweep and model.likelihood.kind != _mvn.UNIVARIATE:
+            # Ticket-batched sweep (fast_sweep.py); the univariate kind
+            # stays on the sequential path (already O(N) per ticket).
+            from .fast_sweep import FastSweeps
+
+            self.kern = FastSweeps(model, table)
+        else:
+            self.kern = MHKernel(model, table)
         self.dtype = jnp.float32 if settings.dtype == "float32" else jnp.float64
         self.targets = jnp.asarray(table.target_rates(), self.dtype)
         self.tune_max = jnp.asarray(table.tune_max(), self.dtype)

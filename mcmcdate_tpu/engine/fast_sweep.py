@@ -1,0 +1,1215 @@
+"""Ticket-batched sweep: the TPU fast path for the proposal cycle.
+
+Why: the sequential sweep (mh.MHKernel) executes ~30k proposal tickets per
+iteration at 1k taxa, and its per-ticket cost on TPU is dominated by
+fixed per-op overheads (~10 us per dynamic-slice/select HLO inside
+``lax.scan``), not by arithmetic or HBM bytes — measured ~200-500 us per
+ticket regardless of sparsity.  The fix is to execute MANY provably
+non-interacting tickets as ONE vectorized mega-step, collapsing thousands
+of tiny HLOs into a handful of large ones (~3-8 us per ticket measured).
+
+Correctness: a mega-step executes a set of tickets whose PRIOR
+dependencies are disjoint by construction (no ticket writes a coordinate
+another ticket's density terms, bounds, or Jacobians read), so their prior
+deltas and Hastings factors are exactly what sequential execution would
+produce.  The LIKELIHOOD couples all tickets through the MVN precision P;
+mega-steps account for this exactly by carrying ``z = P (d - mu)`` and the
+quadratic form ``q = (d-mu)' P (d-mu)`` and running a sequential accept
+scan over the batch with pairwise cross terms
+
+    dq_b = 2 delta_b' z + delta_b' P delta_b + 2 sum_{a<b, accepted} T_ab,
+    T_ab = delta_b' P delta_a,
+
+computed from on-the-fly gathered P blocks.  This reproduces the exact
+sequential acceptance distribution (tickets in a fixed order within the
+batch — a valid MCMC composition; the reference's global shuffle is a
+uniformly random composition, equally valid).
+
+Batched kinds (stage 1):
+
+- ``K_SLIDE_NODES_CONTRA`` — distance-invariant: no likelihood work at all;
+  accept the whole batch in one vectorized step.
+- ``K_SLIDE_NODE_ULTRA`` and ``K_SCALE_BRANCH_RATE`` — likelihood-coupled
+  point tickets with the correction scan.
+
+Excluded from batching (routed to the sequential fallback, mh.MHKernel on a
+sub-table): root-Jacobian rows, tickets whose node participates in a
+calibration/constraint/brace term, and all remaining kinds (subtree
+scales, pulley, hyper-parameter and contrary-global moves, braced slides).
+
+Planner: host-side greedy coloring of the conflict graph (parent-child
+pairs and repeated-weight copies of the same row conflict), packing each
+color class into mega-steps of at most ``BATCH_MAX`` tickets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.dating import DatingModel
+from ..models.state import State
+from ..ops import birth_death as BD
+from ..ops import clocks as CK
+from ..ops import mvn as mvn_mod
+from ..ops.dists import gamma_scale_sample, truncated_normal_sample
+from . import proposals as P
+from .mh import MHKernel
+
+BATCH_MAX = 512
+SUB = 64  # correction-scan sub-block size
+
+
+# ---------------------------------------------------------------------------
+# Local (per-node) prior term evaluation — gathered-operand versions of the
+# ops in birth_death.py / clocks.py; elementwise over any shape.
+# ---------------------------------------------------------------------------
+
+
+def bd_term_local(h_node, h_parent, is_leaf, la, mu):
+    """Birth-death log term for a non-root node given its and its parent's
+    heights (birth_death.birth_death_terms with rho = 1)."""
+    dt = h_parent - h_node
+    _, e_at = BD._de_factors(la, mu, jnp.zeros_like(h_node), h_node)
+    c = jnp.where(is_leaf, 0.0, e_at)
+    log_d, _ = BD._de_factors(la, mu, c, dt)
+    log_d = jnp.where(dt > 0, log_d, -jnp.inf)
+    log_boundary = jnp.where(is_leaf, 0.0, jnp.log(la))
+    return log_d + log_boundary
+
+
+def clock_term_local(model_clock, r, t, var):
+    """Relaxed-clock log term for one branch (clocks.relaxed_clock_terms
+    body, mean = 1)."""
+    from ..ops.dists import (
+        gamma_mean_variance_logpdf,
+        log_normal_mean_param_logpdf,
+    )
+
+    if model_clock == CK.UNCORRELATED_GAMMA:
+        return gamma_mean_variance_logpdf(1.0, var, r)
+    if model_clock == CK.UNCORRELATED_LOG_NORMAL:
+        return log_normal_mean_param_logpdf(1.0, var, r)
+    if model_clock == CK.UNCORRELATED_WHITE_NOISE:
+        ts = jnp.where(t > 0, t, 1.0)
+        lp = gamma_mean_variance_logpdf(1.0, var / ts, r)
+        return jnp.where(t > 0, lp, -jnp.inf)
+    if model_clock == CK.AUTOCORRELATED_GAMMA:
+        ts = jnp.where(t > 0, t, 1.0)
+        lp = gamma_mean_variance_logpdf(1.0, var * ts, r)
+        return jnp.where(t > 0, lp, -jnp.inf)
+    if model_clock == CK.AUTOCORRELATED_LOG_NORMAL:
+        ts = jnp.where(t > 0, t, 1.0)
+        lp = log_normal_mean_param_logpdf(1.0, var * ts, r)
+        return jnp.where(t > 0, lp, -jnp.inf)
+    raise ValueError(model_clock)
+
+
+# ---------------------------------------------------------------------------
+# Host-side planning
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MegaSpec:
+    """Stacked static arrays for all mega-steps of one kind.
+
+    Leading axis = mega-step; second = ticket slot (padded to a common B).
+    ``valid`` masks pad slots.  ``t_*`` are flat term-vector row indices;
+    ``d_rows`` are internal-layout distance rows (-1 where absent).
+    """
+
+    kind: int
+    rows: np.ndarray      # int32[M, B] proposal-table row per ticket
+    node: np.ndarray      # int32[M, B]
+    par: np.ndarray       # int32[M, B]
+    ch: np.ndarray        # int32[M, B, KC]
+    valid: np.ndarray     # bool[M, B]
+    t_rows: np.ndarray    # int32[M, B, KT] touched term rows (-1 pad)
+    d_rows: np.ndarray    # int32[M, B, KD] touched distance rows (-1 pad)
+    sd: np.ndarray        # f64[M, B] base kernel parameter (sd / shape)
+
+    @property
+    def n_mega(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def b(self) -> int:
+        return self.rows.shape[1]
+
+
+@dataclass(frozen=True)
+class RangeSpec:
+    """Stacked sub-blocks of subtree-range tickets (one scan step = one
+    sub-block of ``SUBR`` tickets with pairwise-disjoint pre-order ranges,
+    each padded to ``RB`` rows).
+
+    ``own`` holds the covered node rows per ticket slot (-1 pad); ``d_own``
+    the matching internal-layout distance rows.  Disjointness of ranges
+    within a sub-block makes prior updates exact; the likelihood coupling
+    is handled by the rank-1 structure of each ticket's distance delta
+    (delta_b = (xi_b - 1) g_b) with exact pairwise cross terms.
+    """
+
+    kind: int
+    rows: np.ndarray     # int32[M, S]
+    node: np.ndarray     # int32[M, S]
+    par: np.ndarray      # int32[M, S]
+    valid: np.ndarray    # bool[M, S]
+    sd: np.ndarray       # f64[M, S]
+    n_inner: np.ndarray  # int32[M, S] inner nodes in subtree
+    n_nodes: np.ndarray  # int32[M, S] nodes (branches) in subtree
+    own: np.ndarray      # int32[M, S, RB] covered node rows (-1 pad)
+    own_par: np.ndarray  # int32[M, S, RB] parent of each covered row
+
+    @property
+    def n_blocks(self) -> int:
+        return self.rows.shape[0]
+
+
+@dataclass(frozen=True)
+class FastPlan:
+    specs: Dict[int, MegaSpec]
+    range_specs: Dict[int, RangeSpec]
+    seq_table: P.ProposalTable  # leftover rows for the sequential fallback
+    seq_rows: np.ndarray        # mapping: seq-table row -> original row
+
+
+def _node_prior_nodes(model: DatingModel) -> set:
+    out = set()
+    cal, con, br = model.calibrations, model.constraints, model.braces
+    if cal.n:
+        out.update(int(x) for x in np.asarray(cal.node).ravel())
+    if con.n:
+        out.update(int(x) for x in np.asarray(con.young).ravel())
+        out.update(int(x) for x in np.asarray(con.old).ravel())
+    if br.n:
+        out.update(int(x) for x in np.asarray(br.node).ravel() if x >= 0)
+    return out
+
+
+BATCHED_KINDS = (P.K_SLIDE_NODES_CONTRA, P.K_SLIDE_NODE_ULTRA,
+                 P.K_SCALE_BRANCH_RATE)
+RANGE_KINDS = (P.K_SCALE_SUBTREE_ULTRA, P.K_SCALE_SUBTREE_RATE,
+               P.K_SCALE_SUBTREES_CONTRA)
+# Range sub-blocks come in size buckets sharing a fixed S*RB = 1024 grid:
+# small subtrees (the vast majority; mean size ~ log N) pack 64 tickets of
+# up to 16 rows, mid-size 16 x 64, large 4 x 256.  Even larger subtrees
+# fall back to the sequential phase (a handful near the root).
+RANGE_BUCKETS = ((64, 16), (16, 64), (4, 256))  # (tickets, rows) per block
+RB_MAX = 256
+
+
+def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
+    topo = model.topo
+    n = topo.n
+    parent = np.asarray(topo.parent)
+    children = np.asarray(topo.children)
+    kc = children.shape[1]
+    pos = np.asarray(topo.internal_pos)
+    np_nodes = _node_prior_nodes(model)
+
+    kind = np.asarray(table.kind)
+    node = np.asarray(table.node)
+    weight = np.asarray(table.weight)
+    root_jac = np.asarray(table.root_jac)
+    par_tab = np.asarray(table.par)
+
+    batched_tickets: Dict[int, List[int]] = {k: [] for k in BATCHED_KINDS}
+    seq_row_mask = np.ones(len(kind), bool)
+
+    for r in range(len(kind)):
+        k = int(kind[r])
+        if k not in BATCHED_KINDS:
+            continue
+        i = int(node[r])
+        if root_jac[r] or i in np_nodes:
+            continue  # root-adjacent or node-prior-involved: sequential
+        if k in (P.K_SLIDE_NODE_ULTRA, P.K_SLIDE_NODES_CONTRA):
+            # Children must not be node-prior nodes either (their heights
+            # are read, not written — safe — but the contra variant writes
+            # their RATES, which node priors never read; only i's height
+            # matters.  Keep i-only exclusion.)
+            pass
+        seq_row_mask[r] = False
+        batched_tickets[k].extend([r] * int(weight[r]))
+
+    specs = {}
+    for k, tickets in batched_tickets.items():
+        if not tickets:
+            continue
+        # Greedy coloring: two tickets conflict if the same row (weight
+        # copies) or their nodes are in a parent-child relation.
+        order = list(tickets)
+        color_of: List[int] = []
+        colors: List[List[int]] = []
+        color_nodes: List[set] = []   # node sets per color (incl. adjacency)
+        color_rows: List[set] = []
+        for t in order:
+            i = int(node[t])
+            neigh = {i, int(parent[i])} | {
+                int(c) for c in children[i] if c >= 0
+            }
+            placed = False
+            for ci in range(len(colors)):
+                if t in color_rows[ci]:
+                    continue
+                if neigh & color_nodes[ci]:
+                    continue
+                if len(colors[ci]) >= BATCH_MAX:
+                    continue
+                colors[ci].append(t)
+                color_nodes[ci].add(i)
+                color_rows[ci].add(t)
+                placed = True
+                break
+            if not placed:
+                colors.append([t])
+                color_nodes.append({i})
+                color_rows.append({t})
+        # NOTE on the conflict test: a batch's node set must contain no two
+        # nodes in parent-child relation.  Checking ``neigh & color_nodes``
+        # (candidate's closed neighborhood vs. accepted NODES) is exactly
+        # that, symmetric in both directions.
+        m = len(colors)
+        b = max(len(c) for c in colors)
+        kt = 2 * (1 + kc)  # bd + clock rows for node + children
+        kd = 1 if k == P.K_SCALE_BRANCH_RATE else 1 + kc
+        S = dict(
+            rows=np.zeros((m, b), np.int32),
+            node=np.zeros((m, b), np.int32),
+            par=np.zeros((m, b), np.int32),
+            ch=np.full((m, b, kc), -1, np.int32),
+            valid=np.zeros((m, b), bool),
+            t_rows=np.full((m, b, kt), -1, np.int32),
+            d_rows=np.full((m, b, kd), -1, np.int32),
+            sd=np.zeros((m, b), np.float64),
+        )
+        bd_off = 4
+        ck_off = 4 + (n + 1)
+        for ci, col in enumerate(colors):
+            for s, t in enumerate(col):
+                i = int(node[t])
+                S["rows"][ci, s] = t
+                S["node"][ci, s] = i
+                S["par"][ci, s] = int(parent[i])
+                S["valid"][ci, s] = True
+                S["sd"][ci, s] = par_tab[t]
+                cs = [int(c) for c in children[i] if c >= 0]
+                for j, c in enumerate(cs):
+                    S["ch"][ci, s, j] = c
+                if k == P.K_SCALE_BRANCH_RATE:
+                    S["t_rows"][ci, s, 0] = ck_off + i
+                    S["d_rows"][ci, s, 0] = pos[i]
+                else:
+                    tl = [bd_off + i, ck_off + i]
+                    tl += [bd_off + c for c in cs]
+                    tl += [ck_off + c for c in cs]
+                    S["t_rows"][ci, s, : len(tl)] = tl
+                    if k == P.K_SLIDE_NODE_ULTRA:
+                        dl = sorted({int(pos[i])} | {int(pos[c]) for c in cs})
+                        S["d_rows"][ci, s, : len(dl)] = dl
+        specs[k] = MegaSpec(kind=k, **S)
+
+    # --- range kinds: subtree scales batched as disjoint-range sub-blocks.
+    subtree_end = np.asarray(topo.subtree_end)
+    n_inner_sub = np.asarray(topo.n_inner_subtree)
+    n_nodes_sub = np.asarray(topo.n_nodes_subtree)
+    range_tickets: Dict[int, List[int]] = {k: [] for k in RANGE_KINDS}
+    for r in range(len(kind)):
+        k = int(kind[r])
+        if k not in RANGE_KINDS:
+            continue
+        i = int(node[r])
+        size = int(subtree_end[i]) - i
+        if root_jac[r] or size > RB_MAX:
+            continue
+        if k != P.K_SCALE_SUBTREE_RATE:
+            # Height-changing kinds: no node-prior node inside the range.
+            if any(i <= x < subtree_end[i] for x in np_nodes):
+                continue
+        seq_row_mask[r] = False
+        range_tickets[k].extend([r] * int(weight[r]))
+
+    range_specs = {}
+    for k, all_tickets in range_tickets.items():
+        prev_rb = 0
+        for subr, rb in RANGE_BUCKETS:
+            tickets = [
+                t for t in all_tickets
+                if prev_rb < int(subtree_end[node[t]]) - int(node[t]) <= rb
+            ]
+            prev_rb = rb
+            if not tickets:
+                continue
+            # Color into groups of pairwise-disjoint ranges (and distinct
+            # rows), then pack each color into subr-sized sub-blocks.
+            colors: List[List[int]] = []
+            color_mask: List[np.ndarray] = []
+            color_rows: List[set] = []
+            for t in tickets:
+                i = int(node[t])
+                lo, hi = i, int(subtree_end[i])
+                placed = False
+                for ci in range(len(colors)):
+                    if t in color_rows[ci] or color_mask[ci][lo:hi].any():
+                        continue
+                    colors[ci].append(t)
+                    color_mask[ci][lo:hi] = True
+                    color_rows[ci].add(t)
+                    placed = True
+                    break
+                if not placed:
+                    colors.append([t])
+                    msk = np.zeros(n, bool)
+                    msk[lo:hi] = True
+                    color_mask.append(msk)
+                    color_rows.append({t})
+            blocks: List[List[int]] = []
+            for col in colors:
+                for s0 in range(0, len(col), subr):
+                    blocks.append(col[s0:s0 + subr])
+            m = len(blocks)
+            S = dict(
+                rows=np.zeros((m, subr), np.int32),
+                node=np.zeros((m, subr), np.int32),
+                par=np.zeros((m, subr), np.int32),
+                valid=np.zeros((m, subr), bool),
+                sd=np.zeros((m, subr), np.float64),
+                n_inner=np.ones((m, subr), np.int32),
+                n_nodes=np.ones((m, subr), np.int32),
+                own=np.full((m, subr, rb), -1, np.int32),
+                own_par=np.zeros((m, subr, rb), np.int32),
+            )
+            for bi, blk in enumerate(blocks):
+                for s, t in enumerate(blk):
+                    i = int(node[t])
+                    lo, hi = i, int(subtree_end[i])
+                    S["rows"][bi, s] = t
+                    S["node"][bi, s] = i
+                    S["par"][bi, s] = int(parent[i])
+                    S["valid"][bi, s] = True
+                    S["sd"][bi, s] = par_tab[t]
+                    S["n_inner"][bi, s] = n_inner_sub[i]
+                    S["n_nodes"][bi, s] = n_nodes_sub[i]
+                    S["own"][bi, s, : hi - lo] = np.arange(lo, hi)
+                    S["own_par"][bi, s, : hi - lo] = parent[lo:hi]
+            range_specs[(k, rb)] = RangeSpec(kind=k, **S)
+
+    seq_rows = np.nonzero(seq_row_mask)[0].astype(np.int32)
+    seq_table = _subset_table(table, seq_rows)
+    return FastPlan(specs=specs, range_specs=range_specs,
+                    seq_table=seq_table, seq_rows=seq_rows)
+
+
+def _subset_table(table: P.ProposalTable, rows: np.ndarray) -> P.ProposalTable:
+    weight = np.asarray(table.weight)[rows]
+    tickets = np.concatenate(
+        [np.full(w, p, np.int32) for p, w in enumerate(weight)]
+    ) if len(rows) else np.zeros(0, np.int32)
+    return P.ProposalTable(
+        kind=np.asarray(table.kind)[rows],
+        node=np.asarray(table.node)[rows],
+        aux=np.asarray(table.aux)[rows],
+        par=np.asarray(table.par)[rows],
+        weight=weight,
+        dim=np.asarray(table.dim)[rows],
+        root_jac=np.asarray(table.root_jac)[rows],
+        names=tuple(table.names[r] for r in rows),
+        tickets=tickets,
+        d_class=(np.asarray(table.d_class)[rows]
+                 if table.d_class is not None else None),
+        d_lo=(np.asarray(table.d_lo)[rows]
+              if table.d_lo is not None else None),
+        didx=(np.asarray(table.didx)[rows]
+              if table.didx is not None else None),
+        prior_class=(np.asarray(table.prior_class)[rows]
+                     if table.prior_class is not None else None),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device mega-steps
+# ---------------------------------------------------------------------------
+
+
+class FastSweeps:
+    """Drop-in alternative to ``MHKernel.sweeps`` using the batched plan.
+
+    The interface matches ``MHKernel.sweeps``; NUTS piggy-backs identically.
+    Only usable with the FULL/SPARSE (dense precision) or NONE likelihood
+    kinds — for UNIVARIATE the sequential path is already O(N) and cheap.
+    """
+
+    def __init__(self, model: DatingModel, table: P.ProposalTable):
+        self.model = model
+        self.table = table
+        self.plan = plan_batches(model, table)
+        self.seq_kern = MHKernel(model, self.plan.seq_table)
+        self.use_lik = model.likelihood.kind != mvn_mod.NONE
+        if self.use_lik:
+            perm = model.topo.ref_to_internal_perm
+            self._prec_int = model.likelihood.precision[np.ix_(perm, perm)]
+
+    # -- carried-quantity conversions ----------------------------------
+
+    def _zq_from_y(self, y, dtype):
+        if not self.use_lik:
+            C = y.shape[0]
+            return jnp.zeros((C, 0), dtype), jnp.zeros((C,), dtype)
+        L = jnp.asarray(self.model.chol_internal, dtype)
+        z = y @ L.T
+        q = jnp.sum(y * y, axis=-1)
+        return z, q
+
+    def _y_from_d(self, d, dtype):
+        if not self.use_lik:
+            return jnp.zeros((d.shape[0], 0), dtype)
+        L = jnp.asarray(self.model.chol_internal, dtype)
+        mu = jnp.asarray(self.model.mu_internal, dtype)
+        return (d - mu) @ L
+
+    # -- mega-step builders ----------------------------------------------
+
+    def _mega_contra_slide(self, spec: MegaSpec, dtype, beta_prior=1.0):
+        """All-at-once batch of distance-invariant contrary slides
+        (slideNodesAtContrarily, Contrary.hs:35-137)."""
+        model = self.model
+        nspec = {
+            f.name: jnp.asarray(getattr(spec, f.name))
+            for f in dataclasses.fields(spec) if f.name != "kind"
+        }
+        kc = spec.ch.shape[-1]
+
+        def step(carry, xs):
+            batch, terms, tuning, acc, key = carry
+            sx, key_m = xs
+            node, par, ch, valid = sx["node"], sx["par"], sx["ch"], sx["valid"]
+            t_rows, rows, sd = sx["t_rows"], sx["rows"], sx["sd"]
+            C = batch.heights.shape[0]
+            h = batch.heights
+            r = batch.rates
+            hi = h[:, node]                    # [C, B]
+            hp = h[:, par]
+            ch_ok = ch >= 0                    # [B, KC]
+            ch_i = jnp.clip(ch, min=0)
+            hch = h[:, ch_i]                   # [C, B, KC]
+            hc_max = jnp.max(jnp.where(ch_ok, hch, -jnp.inf), axis=-1)
+            tune = tuning[:, rows]
+            k1, k2 = jax.random.split(key_m)
+            hnew, lq = truncated_normal_sample(
+                k1, hi, jnp.asarray(sd, dtype), tune, hc_max, hp
+            )
+            xi_stem = (hp - hi) / (hp - hnew)
+            xi_ch = jnp.where(
+                ch_ok, (hi[..., None] - hch) / (hnew[..., None] - hch), 1.0
+            )
+            log_jac = jnp.log(xi_stem) + jnp.sum(
+                jnp.where(ch_ok, jnp.log(xi_ch), 0.0), axis=-1
+            )
+            # New prior terms at the touched rows [bd_i, ck_i, bd_ch*, ck_ch*].
+            la = batch.birth[:, None]
+            mu_ = batch.death[:, None]
+            var = batch.rate_var[:, None]
+            r_i_new = r[:, node] * xi_stem
+            r_ch_new = r[:, ch_i] * jnp.where(ch_ok, xi_ch, 1.0)
+            is_leaf = jnp.asarray(self.model.topo.is_leaf)
+            new_terms = [
+                bd_term_local(hnew, hp, False, la, mu_),
+                clock_term_local(model.clock, r_i_new, hp - hnew, var),
+            ]
+            for j in range(kc):
+                new_terms.append(jnp.where(
+                    ch_ok[:, j],
+                    bd_term_local(hch[:, :, j], hnew, is_leaf[ch_i[:, j]],
+                                  la, mu_),
+                    0.0,
+                ))
+            for j in range(kc):
+                new_terms.append(jnp.where(
+                    ch_ok[:, j],
+                    clock_term_local(model.clock, r_ch_new[:, :, j],
+                                     hnew - hch[:, :, j], var),
+                    0.0,
+                ))
+            tn = jnp.stack(new_terms, axis=-1)     # [C, B, KT]
+            t_ok = t_rows >= 0
+            t_safe = jnp.clip(t_rows, min=0)
+            told = terms[:, t_safe]                # [C, B, KT]
+            diff = jnp.where(t_ok, tn - told, 0.0)
+            d_pr = jnp.sum(jnp.where(jnp.isnan(diff), 0.0, diff), axis=-1)
+            invalid = jnp.any(
+                t_ok & (jnp.isnan(tn) | jnp.isneginf(tn)), axis=-1
+            )
+            bp = jnp.asarray(beta_prior, dtype)
+            bp = bp[:, None] if bp.ndim == 1 else bp
+            log_alpha = jnp.where(invalid, -jnp.inf, bp * d_pr + lq + log_jac)
+            log_alpha = jnp.where(
+                valid & ~jnp.isnan(log_alpha), log_alpha, -jnp.inf
+            )
+            u = jax.random.uniform(k2, log_alpha.shape, dtype)
+            accept = (jnp.log(u) < log_alpha) & valid  # [C, B]
+            # Apply: heights at node, rates at node+children, terms.
+            h = h.at[:, node].set(jnp.where(accept, hnew, hi))
+            r = r.at[:, node].set(jnp.where(accept, r_i_new, r[:, node]))
+            accept_ch = accept[..., None] & ch_ok
+            r = r.at[:, ch_i].set(jnp.where(accept_ch, r_ch_new, r[:, ch_i]))
+            terms = terms.at[:, t_safe].set(
+                jnp.where(accept[..., None] & t_ok, tn, told)
+            )
+            acc = acc.at[:, rows].add(accept.astype(acc.dtype))
+            batch = batch.replace(heights=h, rates=r)
+            return (batch, terms, tuning, acc, key), None
+
+        return step, nspec
+
+    def _mega_point_lik(self, spec: MegaSpec, dtype, beta=1.0, beta_prior=1.0):
+        """Likelihood-coupled point batch (slides / branch-rate scales) with
+        the exact sequential-correction accept scan."""
+        model = self.model
+        is_branch = spec.kind == P.K_SCALE_BRANCH_RATE
+        use_lik = self.use_lik
+        nspec = {
+            f.name: jnp.asarray(getattr(spec, f.name))
+            for f in dataclasses.fields(spec) if f.name != "kind"
+        }
+        kc = spec.ch.shape[-1]
+        kd = spec.d_rows.shape[-1]
+        kt = spec.t_rows.shape[-1]
+        B = spec.b
+        n_sub = (B + SUB - 1) // SUB
+        Pm = jnp.asarray(self._prec_int, dtype) if use_lik else None
+        topo = self.model.topo
+        is_leaf = jnp.asarray(topo.is_leaf)
+
+        def step(carry, xs):
+            batch, terms, d, z, q, tuning, acc, key = carry
+            sx, key_m = xs
+            node, par, ch, valid = sx["node"], sx["par"], sx["ch"], sx["valid"]
+            t_rows, d_rows, rows, sd = (sx["t_rows"], sx["d_rows"],
+                                        sx["rows"], sx["sd"])
+            C = batch.heights.shape[0]
+            h, r = batch.heights, batch.rates
+            scale = batch.height * batch.rate_mean           # [C]
+            tune = tuning[:, rows]
+            k1, k2 = jax.random.split(key_m)
+            la = batch.birth[:, None]
+            mu_ = batch.death[:, None]
+            var = batch.rate_var[:, None]
+
+            d_ok = d_rows >= 0
+            d_safe = jnp.clip(d_rows, min=0)
+            d_old = d[:, d_safe]                              # [C, B, KD]
+
+            if is_branch:
+                u, base, logu = gamma_scale_sample(
+                    k1, jnp.asarray(sd, dtype), tune
+                )
+                r_new = r[:, node] * u
+                lq = base + logu
+                log_jac = jnp.zeros_like(lq)
+                tn0 = clock_term_local(
+                    model.clock, r_new, h[:, par] - h[:, node], var
+                )[..., None]                                  # [C, B, 1]
+                tn = jnp.concatenate(
+                    [tn0, jnp.zeros(tn0.shape[:-1] + (kt - 1,), dtype)],
+                    axis=-1,
+                )
+                d_new = jnp.where(d_ok, d_old * u[..., None], d_old)
+                h_upd = None
+            else:
+                hi = h[:, node]
+                hp = h[:, par]
+                ch_ok = ch >= 0
+                ch_i = jnp.clip(ch, min=0)
+                hch = h[:, ch_i]
+                hc_max = jnp.max(jnp.where(ch_ok, hch, -jnp.inf), axis=-1)
+                hnew, lq = truncated_normal_sample(
+                    k1, hi, jnp.asarray(sd, dtype), tune, hc_max, hp
+                )
+                log_jac = jnp.zeros_like(lq)
+                new_terms = [
+                    bd_term_local(hnew, hp, False, la, mu_),
+                    clock_term_local(model.clock, r[:, node], hp - hnew, var),
+                ]
+                for j in range(kc):
+                    new_terms.append(jnp.where(
+                        ch_ok[:, j],
+                        bd_term_local(hch[:, :, j], hnew,
+                                      is_leaf[ch_i[:, j]], la, mu_),
+                        0.0,
+                    ))
+                for j in range(kc):
+                    new_terms.append(jnp.where(
+                        ch_ok[:, j],
+                        clock_term_local(model.clock, r[:, ch_i[:, j]],
+                                         hnew - hch[:, :, j], var),
+                        0.0,
+                    ))
+                tn = jnp.stack(new_terms, axis=-1)
+                # New distance rows: first slot = branch of node i, then
+                # children branches (d_rows built sorted: recompute from
+                # the defining formula instead of tracking slot order).
+                # d_j = scale * (h_par(j) - h_j) * r_j for each touched row;
+                # express via the node sets: row pos(i) gets t = hp - hnew,
+                # row pos(c) gets t = hnew - h_c.
+                d_new = d_old
+                sc = scale[:, None]
+                pos = jnp.asarray(np.asarray(topo.internal_pos))
+                pos_i = pos[node]                              # [B]
+                for slot in range(kd):
+                    row = d_safe[:, slot]                      # [B]
+                    is_i = (d_rows[:, slot] == pos_i)
+                    # children slot: find which child owns this row
+                    t_val = jnp.where(
+                        is_i, hp - hnew, jnp.zeros_like(hnew)
+                    )
+                    r_val = jnp.where(is_i, r[:, node], jnp.zeros_like(hnew))
+                    for j in range(kc):
+                        owns = (d_rows[:, slot] == pos[jnp.clip(ch[:, j], min=0)]) & (ch[:, j] >= 0)
+                        t_val = jnp.where(owns, hnew - h[:, jnp.clip(ch[:, j], min=0)], t_val)
+                        r_val = jnp.where(owns, r[:, jnp.clip(ch[:, j], min=0)], r_val)
+                    d_new = d_new.at[:, :, slot].set(jnp.where(
+                        d_ok[:, slot], sc * t_val * r_val, d_old[:, :, slot]
+                    ))
+                h_upd = hnew
+
+            delta = jnp.where(d_ok, d_new - d_old, 0.0)        # [C, B, KD]
+
+            t_ok = t_rows >= 0
+            t_safe = jnp.clip(t_rows, min=0)
+            told = terms[:, t_safe]
+            diff = jnp.where(t_ok, tn - told, 0.0)
+            d_pr = jnp.sum(jnp.where(jnp.isnan(diff), 0.0, diff), axis=-1)
+            invalid = jnp.any(
+                t_ok & (jnp.isnan(tn) | jnp.isneginf(tn)), axis=-1
+            )
+            lmhg = jnp.where(invalid | ~valid, -jnp.inf, lq + log_jac)
+            bl_c = jnp.broadcast_to(jnp.asarray(beta, dtype), (C,))
+            bp_c = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
+
+            u_acc = jax.random.uniform(k2, (C, B), dtype)
+            if not use_lik:
+                log_alpha = bp_c[:, None] * d_pr + lmhg
+                log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf,
+                                      log_alpha)
+                accept = jnp.log(u_acc) < log_alpha
+                dq_all = jnp.zeros((C, B), dtype)
+            else:
+                # --- likelihood with sequential correction, sub-blocked ---
+                accept = jnp.zeros((C, B), bool)
+                dq_all = jnp.zeros((C, B), dtype)
+                for s0 in range(n_sub):
+                    lo = s0 * SUB
+                    hi_ = min(lo + SUB, B)
+                    Sn = hi_ - lo
+                    dr = d_safe[lo:hi_]                         # [S, KD]
+                    dok = d_ok[lo:hi_]
+                    dl = delta[:, lo:hi_]                       # [C, S, KD]
+                    zg = z[:, dr]                               # [C, S, KD]
+                    # P blocks: self [S, KD, KD], cross [S, S, KD, KD]
+                    Pself = Pm[dr[:, :, None], dr[:, None, :]]
+                    dq0 = (2.0 * jnp.sum(dl * zg, axis=-1)
+                           + jnp.einsum("csi,sij,csj->cs", dl, Pself, dl))
+                    Pcross = Pm[dr[:, None, :, None], dr[None, :, None, :]]
+                    # T[c, a, b] = delta_a' P delta_b
+                    T = jnp.einsum("cai,abij,cbj->cab", dl, Pcross, dl)
+
+                    def body(accm, xs_t):
+                        dq0_t, dpr_t, lmhg_t, u_t, Tt, onehot = xs_t
+                        corr = 2.0 * jnp.sum(accm * Tt, axis=-1)   # [C]
+                        dq_t = dq0_t + corr
+                        la_t = bp_c * dpr_t - 0.5 * bl_c * dq_t + lmhg_t
+                        la_t = jnp.where(jnp.isnan(la_t), -jnp.inf, la_t)
+                        a_t = jnp.log(u_t) < la_t
+                        accm = accm + a_t.astype(dtype)[:, None] * onehot[None, :]
+                        return accm, (a_t, dq_t)
+
+                    eye = jnp.eye(Sn, dtype=dtype)
+                    accm0 = jnp.zeros((C, Sn), dtype)
+                    accm, (a_sub, dq_sub) = jax.lax.scan(
+                        body, accm0,
+                        (dq0.T, d_pr[:, lo:hi_].T, lmhg[:, lo:hi_].T,
+                         u_acc[:, lo:hi_].T, jnp.moveaxis(T, 2, 0), eye),
+                    )
+                    a_sub = a_sub.T                               # [C, S]
+                    dq_sub = dq_sub.T
+                    accept = accept.at[:, lo:hi_].set(a_sub)
+                    dq_all = dq_all.at[:, lo:hi_].set(dq_sub)
+                    # Next sub-block must see this one's accepted deltas.
+                    if s0 < n_sub - 1:
+                        dacc = jnp.where(a_sub[..., None] & dok, dl, 0.0)
+                        Prows = Pm[dr.reshape(-1)]                # [S*KD, D]
+                        z = z + dacc.reshape(C, -1) @ Prows
+
+            # --- apply ---
+            accept = accept & valid
+            if is_branch:
+                r = r.at[:, node].set(jnp.where(accept, r_new, r[:, node]))
+                batch = batch.replace(rates=r)
+            else:
+                h = h.at[:, node].set(jnp.where(accept, h_upd, h[:, node]))
+                batch = batch.replace(heights=h)
+            terms = terms.at[:, t_safe].set(
+                jnp.where(accept[..., None] & t_ok, tn, told)
+            )
+            d = d.at[:, d_safe].set(
+                jnp.where(accept[..., None] & d_ok, d_new, d_old)
+            )
+            if use_lik:
+                # Final z refresh for the last sub-block's acceptances.
+                dacc_all = jnp.where(accept[..., None] & d_ok, delta, 0.0)
+                last_lo = (n_sub - 1) * SUB
+                dl_last = dacc_all[:, last_lo:B]
+                Prows_last = Pm[d_safe[last_lo:B].reshape(-1)]
+                z = z + dl_last.reshape(C, -1) @ Prows_last
+                q = q + jnp.sum(jnp.where(accept, dq_all, 0.0), axis=-1)
+            acc = acc.at[:, rows].add(accept.astype(acc.dtype))
+            return (batch, terms, d, z, q, tuning, acc, key), None
+
+        return step, nspec
+
+
+    def _mega_range_contra(self, spec: RangeSpec, dtype, beta_prior=1.0):
+        """Sub-block of distance-invariant contrary subtree scales
+        (scaleSubTreesAtContrarily, Contrary.hs:268-418).
+
+        Runs in the TRANSPOSED ``[param, chains]`` layout: bulk row
+        gathers/scatters of the per-ticket ranges are then contiguous
+        (lane dimension = chains), which is what makes range batching
+        bandwidth-efficient on TPU.
+        """
+        model = self.model
+        topo = model.topo
+        N = topo.n
+        is_leaf = jnp.asarray(topo.is_leaf)
+        nspec = {
+            f.name: jnp.asarray(getattr(spec, f.name))
+            for f in dataclasses.fields(spec) if f.name != "kind"
+        }
+
+        def step(carry, xs):
+            hT, rT, teT, dT, zT, q, scal, tunT, acc, key = carry
+            sx, key_m = xs
+            node, par, valid = sx["node"], sx["par"], sx["valid"]
+            own, own_par, rows, sd = (sx["own"], sx["own_par"], sx["rows"],
+                                      sx["sd"])
+            n_inner, n_nodes = sx["n_inner"], sx["n_nodes"]
+            C = hT.shape[1]
+            birth, death, rvar, _hrm = scal
+            hi = hT[node]                              # [S, C]
+            hp = hT[par]
+            tune = tunT[rows]
+            k1, k2 = jax.random.split(key_m)
+            hnew, lq = truncated_normal_sample(
+                k1, hi, jnp.asarray(sd, dtype)[:, None], tune, 0.0, hp
+            )
+            xi = hnew / hi
+            xi_stem = (hp - hi) / (hp - hnew)
+            own_ok = (own >= 0)[..., None]             # [S, RB, 1]
+            own_s = jnp.clip(own, min=0)
+            is_root = (own == node[:, None])[..., None]
+            h_own = hT[own_s]                          # [S, RB, C]
+            hpar_own = hT[jnp.clip(own_par, min=0)]
+            r_own = rT[own_s]
+            xi_e = xi[:, None, :]
+            h_new = xi_e * h_own
+            hpar_new = jnp.where(is_root, hpar_own, xi_e * hpar_own)
+            r_new = jnp.where(
+                is_root, r_own * xi_stem[:, None, :], r_own / xi_e
+            )
+            la = birth[None, None, :]
+            mu_ = death[None, None, :]
+            var = rvar[None, None, :]
+            leaf_own = is_leaf[own_s][..., None]
+            bd_new = bd_term_local(h_new, hpar_new, leaf_own, la, mu_)
+            ck_new = clock_term_local(
+                model.clock, r_new, hpar_new - h_new, var
+            )
+            t_bd = 4 + own_s
+            t_ck = 4 + (N + 1) + own_s
+            bd_old = teT[t_bd]
+            ck_old = teT[t_ck]
+            diff = jnp.where(own_ok, (bd_new - bd_old) + (ck_new - ck_old),
+                             0.0)
+            d_pr = jnp.sum(jnp.where(jnp.isnan(diff), 0.0, diff), axis=1)
+            invalid = jnp.any(
+                own_ok & (jnp.isnan(bd_new) | jnp.isneginf(bd_new)
+                          | jnp.isnan(ck_new) | jnp.isneginf(ck_new)),
+                axis=1,
+            )
+            log_jac = ((n_inner - n_nodes)[:, None] * jnp.log(xi)
+                       + jnp.log(xi_stem))
+            bp = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
+            log_alpha = bp[None, :] * d_pr + lq + log_jac
+            log_alpha = jnp.where(
+                invalid | ~valid[:, None] | jnp.isnan(log_alpha),
+                -jnp.inf, log_alpha,
+            )
+            u = jax.random.uniform(k2, log_alpha.shape, dtype)
+            accept = (jnp.log(u) < log_alpha) & valid[:, None]   # [S, C]
+            am = accept[:, None, :] & own_ok
+            hT = hT.at[own_s].set(jnp.where(am, h_new, h_own))
+            rT = rT.at[own_s].set(jnp.where(am, r_new, r_own))
+            teT = teT.at[t_bd].set(jnp.where(am, bd_new, bd_old))
+            teT = teT.at[t_ck].set(jnp.where(am, ck_new, ck_old))
+            acc = acc.at[:, rows].add(accept.T.astype(acc.dtype))
+            return (hT, rT, teT, dT, zT, q, scal, tunT, acc, key), None
+
+        return step, nspec
+
+    def _mega_range_lik(self, spec: RangeSpec, dtype, beta=1.0,
+                        beta_prior=1.0):
+        """Sub-block of likelihood-coupled subtree scales: ultrametric
+        (Ultrametric.hs:126-188) or rate-tree (Unconstrained.hs:95-137),
+        in the transposed ``[param, chains]`` layout.
+
+        Each ticket's distance delta is rank-1: ``delta_b = (f_b - 1) g_b``
+        with g the current distance rows (and, for the ultrametric kind, a
+        sign-flipped boundary row), so pairwise cross terms reduce to
+        quadratics in gathered P blocks; a sequential accept scan applies
+        the exact corrections.
+        """
+        model = self.model
+        topo = model.topo
+        N = topo.n
+        is_rate = spec.kind == P.K_SCALE_SUBTREE_RATE
+        use_lik = self.use_lik
+        is_leaf = jnp.asarray(topo.is_leaf)
+        pos = jnp.asarray(np.asarray(topo.internal_pos))
+        Pm = jnp.asarray(self._prec_int, dtype) if use_lik else None
+        nspec = {
+            f.name: jnp.asarray(getattr(spec, f.name))
+            for f in dataclasses.fields(spec) if f.name != "kind"
+        }
+        S_n = spec.rows.shape[1]
+        rb = spec.own.shape[-1]
+
+        def step(carry, xs):
+            hT, rT, teT, dT, zT, q, scal, tunT, acc, key = carry
+            sx, key_m = xs
+            node, par, valid = sx["node"], sx["par"], sx["valid"]
+            own, own_par, rows, sd = (sx["own"], sx["own_par"], sx["rows"],
+                                      sx["sd"])
+            n_inner, n_nodes = sx["n_inner"], sx["n_nodes"]
+            C = hT.shape[1]
+            birth, death, rvar, height_rm = scal
+            tune = tunT[rows]
+            k1, k2 = jax.random.split(key_m)
+            own_okb = own >= 0                          # [S, RB]
+            own_ok = own_okb[..., None]
+            own_s = jnp.clip(own, min=0)
+            is_root = (own == node[:, None])[..., None]
+            r_own = rT[own_s]                           # [S, RB, C]
+            h_own = hT[own_s]
+            hpar_own = hT[jnp.clip(own_par, min=0)]
+            d_own = jnp.where(own_okb, pos[own_s], 0)   # [S, RB]
+            if use_lik:
+                D = Pm.shape[0]
+                d_flat0 = d_own.reshape(-1)
+                iota_d0 = jax.lax.broadcasted_iota(
+                    jnp.int32, (S_n * rb, D), 1
+                )
+                OHD0 = ((d_flat0[:, None] == iota_d0)
+                        & own_okb.reshape(-1)[:, None]).astype(dtype)
+                d_old_g = (OHD0 @ dT).reshape(S_n, rb, C)
+            else:
+                d_old_g = dT[d_own]                     # [S, RB, C]
+            var = rvar[None, None, :]
+
+            if is_rate:
+                u0, base, logu = gamma_scale_sample(
+                    k1, jnp.asarray(sd, dtype)[:, None], tune
+                )
+                f = u0                                   # [S, C]
+                lq = base + n_nodes[:, None] * logu
+                r_new = r_own * f[:, None, :]
+                ck_new = clock_term_local(
+                    model.clock, r_new, hpar_own - h_own, var
+                )
+                t_rows_all = (4 + (N + 1) + own_s,)
+                t_news = (ck_new,)
+                g = jnp.where(own_ok, d_old_g, 0.0)
+                h_new = None
+            else:
+                hi = hT[node]
+                hp = hT[par]
+                hnew, lq = truncated_normal_sample(
+                    k1, hi, jnp.asarray(sd, dtype)[:, None], tune, 0.0, hp
+                )
+                f = hnew / hi                            # xi  [S, C]
+                lq = lq + (n_inner - 1)[:, None] * jnp.log(f)
+                xi_e = f[:, None, :]
+                h_new = xi_e * h_own
+                hpar_new = jnp.where(is_root, hpar_own, xi_e * hpar_own)
+                la = birth[None, None, :]
+                mu_ = death[None, None, :]
+                leaf_own = is_leaf[own_s][..., None]
+                bd_new = bd_term_local(h_new, hpar_new, leaf_own, la, mu_)
+                ck_new = clock_term_local(
+                    model.clock, r_own, hpar_new - h_new, var
+                )
+                t_rows_all = (4 + own_s, 4 + (N + 1) + own_s)
+                t_news = (bd_new, ck_new)
+                g = jnp.where(
+                    is_root, -height_rm[None, None, :] * r_own * h_own,
+                    d_old_g,
+                )
+                g = jnp.where(own_ok, g, 0.0)
+
+            d_pr = jnp.zeros((S_n, C), dtype)
+            invalid = jnp.zeros((S_n, C), bool)
+            for t_rows_k, tn_k in zip(t_rows_all, t_news):
+                told_k = teT[t_rows_k]
+                diff = jnp.where(own_ok, tn_k - told_k, 0.0)
+                d_pr = d_pr + jnp.sum(
+                    jnp.where(jnp.isnan(diff), 0.0, diff), axis=1
+                )
+                invalid = invalid | jnp.any(
+                    own_ok & (jnp.isnan(tn_k) | jnp.isneginf(tn_k)), axis=1
+                )
+            lmhg = jnp.where(invalid | ~valid[:, None], -jnp.inf, lq)
+            bl_c = jnp.broadcast_to(jnp.asarray(beta, dtype), (C,))
+            bp_c = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
+            u_acc = jax.random.uniform(k2, (S_n, C), dtype)
+            coef = f - 1.0                              # [S, C]
+
+            if not use_lik:
+                log_alpha = bp_c[None, :] * d_pr + lmhg
+                accept = jnp.log(u_acc) < jnp.where(
+                    jnp.isnan(log_alpha), -jnp.inf, log_alpha
+                )
+                dq_all = jnp.zeros((S_n, C), dtype)
+            else:
+                # All P/z/d row accesses go through a one-hot selector on
+                # the MXU: advanced-index gathers cost ~5 ms flat on this
+                # backend, the matmul form ~0.5 ms.
+                OHD = OHD0
+                zg = (OHD @ zT).reshape(S_n, rb, C)
+                v = jnp.sum(g * zg, axis=1)             # [S, C]
+                Prow = OHD @ Pm                          # [S*rb, D]
+                Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
+                # G[a, b, c] = g_a' P g_b per chain; the diagonal is the
+                # self term gamma_b = g_b' P g_b.
+                G = jnp.einsum("aic,aibj,bjc->abc", g, Q, g)
+                eyeS = jnp.eye(S_n, dtype=dtype)
+                gamma_ = jnp.sum(G * eyeS[:, :, None], axis=1)
+                dq0 = 2.0 * coef * v + coef * coef * gamma_
+                X = coef[:, None, :] * G * coef[None, :, :]
+
+                def body(accm, xs_t):
+                    dq0_t, dpr_t, lmhg_t, u_t, Xt, onehot = xs_t
+                    corr = 2.0 * jnp.sum(accm * Xt, axis=0)   # [C]
+                    dq_t = dq0_t + corr
+                    la_t = bp_c * dpr_t - 0.5 * bl_c * dq_t + lmhg_t
+                    la_t = jnp.where(jnp.isnan(la_t), -jnp.inf, la_t)
+                    a_t = jnp.log(u_t) < la_t
+                    accm = accm + a_t[None, :].astype(dtype) * onehot[:, None]
+                    return accm, (a_t, dq_t)
+
+                eye = jnp.eye(S_n, dtype=dtype)
+                accm0 = jnp.zeros((S_n, C), dtype)
+                _, (a_seq, dq_seq) = jax.lax.scan(
+                    body, accm0,
+                    (dq0, d_pr, lmhg, u_acc, jnp.moveaxis(X, 1, 0), eye),
+                )
+                accept = a_seq                           # [S, C]
+                dq_all = dq_seq
+
+            accept = accept & valid[:, None]
+            am = accept[:, None, :] & own_ok
+            if is_rate:
+                rT = rT.at[own_s].set(jnp.where(am, r_new, r_own))
+                teT = teT.at[t_rows_all[0]].set(
+                    jnp.where(am, t_news[0], teT[t_rows_all[0]])
+                )
+            else:
+                hT = hT.at[own_s].set(jnp.where(am, h_new, h_own))
+                for t_rows_k, tn_k in zip(t_rows_all, t_news):
+                    teT = teT.at[t_rows_k].set(
+                        jnp.where(am, tn_k, teT[t_rows_k])
+                    )
+            delta = coef[:, None, :] * g
+            dacc = jnp.where(am, delta, 0.0)
+            if use_lik:
+                # Add-form write-backs through the same selector (pad rows
+                # are all-zero in OHD, so they contribute nothing).
+                dT = dT + OHD.T @ dacc.reshape(S_n * rb, C)
+                zT = zT + Prow.T @ dacc.reshape(S_n * rb, C)
+                q = q + jnp.sum(jnp.where(accept, dq_all, 0.0), axis=0)
+            else:
+                dT = dT.at[d_own].set(
+                    jnp.where(am, d_old_g + delta, d_old_g)
+                )
+            acc = acc.at[:, rows].add(accept.T.astype(acc.dtype))
+            return (hT, rT, teT, dT, zT, q, scal, tunT, acc, key), None
+
+        return step, nspec
+
+    # -- the sweep driver ----------------------------------------------
+
+    def sweeps(
+        self,
+        batch: State,
+        tuning,
+        key,
+        n: int,
+        beta=1.0,
+        beta_prior=1.0,
+        collect=None,
+        nuts_move=None,
+        nuts_eps=None,
+        nuts_inv_mass=None,
+    ):
+        """Same contract as ``MHKernel.sweeps``.
+
+        Each sweep runs: the sequential leftover phase (y-carry, exactly the
+        MHKernel step), then the batched phases (z/q-carry).  Phase grouping
+        replaces the reference's global ticket shuffle — a fixed composition
+        of pi-invariant kernels, equally valid (the seq phase still shuffles
+        its own tickets; mega-steps run in stacked order)."""
+        from ..ops import heights as Hops
+
+        model = self.model
+        C = batch.heights.shape[0]
+        dtype = batch.heights.dtype
+        kernels = P.make_kernel_switch(model.topo, model.braces)
+        seq_step = self.seq_kern._ticket_step(kernels, beta, dtype, beta_prior)
+        seq_tickets = jnp.asarray(self.plan.seq_table.tickets)
+        seq_rows = jnp.asarray(self.plan.seq_rows)
+        P_orig = self.table.n_proposals
+        P_seq = self.plan.seq_table.n_proposals
+
+        mega_steps = []
+        for k, spec in self.plan.specs.items():
+            if k == P.K_SLIDE_NODES_CONTRA:
+                mega_steps.append(
+                    ("contra",) + self._mega_contra_slide(spec, dtype,
+                                                          beta_prior)
+                )
+            else:
+                mega_steps.append(
+                    ("lik",) + self._mega_point_lik(spec, dtype, beta,
+                                                    beta_prior)
+                )
+        # Range steps run in the transposed [param, chains] layout.
+        range_steps = []
+        for k, spec in self.plan.range_specs.items():
+            if spec.kind == P.K_SCALE_SUBTREES_CONTRA:
+                range_steps.append(
+                    self._mega_range_contra(spec, dtype, beta_prior)
+                )
+            else:
+                range_steps.append(
+                    self._mega_range_lik(spec, dtype, beta, beta_prior)
+                )
+
+        terms = jax.vmap(model.log_prior_terms)(batch)
+        d0 = jax.vmap(lambda s: Hops.distances_internal(s, model.topo))(batch)
+        y = jax.vmap(model.whitened_residual_internal)(batch)
+        lik_const = jnp.asarray(model.log_lik_const, dtype)
+        acc = jnp.zeros((C, P_orig), jnp.int32)
+        tot = jnp.broadcast_to(
+            jnp.asarray(self.table.weight, jnp.int32) * n, (C, P_orig)
+        )
+        key, k_chains = jax.random.split(key)
+        chain_keys = jax.random.split(k_chains, C)
+
+        def lp_of(terms, y):
+            return (jnp.sum(terms, axis=-1),
+                    lik_const - 0.5 * jnp.sum(y * y, axis=-1))
+
+        def one_sweep(carry, key_s):
+            batch, terms, d, y, tuning, acc, chain_keys = carry
+            k_seq, k_perm, k_mega, k_nuts = jax.random.split(key_s, 4)
+
+            # --- sequential leftover phase (shuffled, y-carry) ---
+            if len(self.plan.seq_table.tickets):
+                perm = jax.random.permutation(k_perm, seq_tickets)
+                tun_seq = tuning[:, seq_rows]
+                acc_seq = jnp.zeros((C, P_seq), jnp.int32)
+                c = (batch, terms, d, y, tun_seq, acc_seq, chain_keys)
+                c, _ = jax.lax.scan(seq_step, c, perm)
+                batch, terms, d, y, _, acc_seq, chain_keys = c
+                acc = acc.at[:, seq_rows].add(acc_seq)
+
+            # --- batched phases (z/q-carry) ---
+            if mega_steps or range_steps:
+                z, q = self._zq_from_y(y, dtype)
+                keys_m = jax.random.split(
+                    k_mega, len(mega_steps) + len(range_steps)
+                )
+                for mi, ms in enumerate(mega_steps):
+                    tag, step, nspec = ms
+                    nm = nspec["rows"].shape[0]
+                    mkeys = jax.random.split(keys_m[mi], nm)
+                    if tag == "contra":
+                        carry_m = (batch, terms, tuning, acc, keys_m[mi])
+                        carry_m, _ = jax.lax.scan(
+                            step, carry_m, (nspec, mkeys)
+                        )
+                        batch, terms, _, acc, _ = carry_m
+                    else:
+                        carry_m = (batch, terms, d, z, q, tuning, acc,
+                                   keys_m[mi])
+                        carry_m, _ = jax.lax.scan(
+                            step, carry_m, (nspec, mkeys)
+                        )
+                        batch, terms, d, z, q, _, acc, _ = carry_m
+                if range_steps:
+                    # Transpose the hot arrays once: bulk row gathers of
+                    # ticket ranges are then contiguous (lanes = chains).
+                    hT, rT = batch.heights.T, batch.rates.T
+                    teT, dT, zT = terms.T, d.T, z.T
+                    tunT = tuning.T
+                    scal = (batch.birth, batch.death, batch.rate_var,
+                            batch.height * batch.rate_mean)
+                    for ri, (step, nspec) in enumerate(range_steps):
+                        km = keys_m[len(mega_steps) + ri]
+                        nm = nspec["rows"].shape[0]
+                        mkeys = jax.random.split(km, nm)
+                        carry_r = (hT, rT, teT, dT, zT, q, scal, tunT, acc,
+                                   km)
+                        carry_r, _ = jax.lax.scan(
+                            step, carry_r, (nspec, mkeys)
+                        )
+                        hT, rT, teT, dT, zT, q, _, _, acc, _ = carry_r
+                    batch = batch.replace(heights=hT.T, rates=rT.T)
+                    terms, d, z = teT.T, dT.T, zT.T
+                y = self._y_from_d(d, dtype)
+
+            if nuts_move is not None:
+                batch, astat = nuts_move(
+                    batch, k_nuts, nuts_eps, nuts_inv_mass, beta, beta_prior
+                )
+                terms = jax.vmap(model.log_prior_terms)(batch)
+                d = jax.vmap(
+                    lambda s: Hops.distances_internal(s, model.topo)
+                )(batch)
+                y = jax.vmap(model.whitened_residual_internal)(batch)
+            else:
+                astat = jnp.zeros(C, dtype)
+
+            if collect is not None:
+                lp_pr, lp_lik = lp_of(terms, y)
+                out = jax.vmap(collect)(batch, lp_pr, lp_lik)
+            else:
+                out = None
+            return (batch, terms, d, y, tuning, acc, chain_keys), (out, astat)
+
+        sweep_keys = jax.random.split(key, n)
+        carry = (batch, terms, d0, y, tuning, acc, chain_keys)
+        carry, (outs, astats) = jax.lax.scan(one_sweep, carry, sweep_keys)
+        batch, terms, d, y, tuning, acc, chain_keys = carry
+        lp_pr, lp_lik = lp_of(terms, y)
+        if nuts_move is None:
+            return batch, lp_pr, lp_lik, acc, tot, outs
+        return batch, lp_pr, lp_lik, acc, tot, outs, astats
+
+
+# NOTE: stage-2 (subtree-range batching) extends this module; see PERF.md.

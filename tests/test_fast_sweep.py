@@ -1,0 +1,174 @@
+"""Fast (ticket-batched) sweep vs. the sequential reference sweep.
+
+The batched sweep (engine/fast_sweep.py) must sample the same posterior as
+the sequential MHKernel: same proposal distributions, exact prior deltas on
+provably disjoint ticket sets, and exact likelihood bookkeeping through the
+carried ``z = P (d - mu)`` / quadratic form with sequential-correction
+accept scans.  These tests run both samplers on the same model and compare
+posterior moments, and check the carried log-posterior against a direct
+recomputation (any bookkeeping error accumulates there).
+
+Runs in a plain-CPU child (the in-process axon path compiles too slowly for
+the sequential reference at test sizes).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_child(code: str, timeout=1500):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + pp)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent(code)],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, f"child failed:\n{r.stdout[-4000:]}\n{r.stderr[-4000:]}"
+    return r.stdout
+
+
+COMMON = """
+import numpy as np
+import jax, jax.numpy as jnp
+from mcmcdate_tpu.models import DatingModel, init_state
+from mcmcdate_tpu.ops import mvn
+from mcmcdate_tpu.tree import FlatTopology
+from mcmcdate_tpu.utils.simulate import random_ultrametric_tree
+from mcmcdate_tpu.engine import proposals as P
+from mcmcdate_tpu.engine.mh import MHKernel
+from mcmcdate_tpu.engine.fast_sweep import FastSweeps
+
+def build(n_leaves=10, lik="full", seed=0):
+    rng = np.random.default_rng(seed)
+    tree = random_ultrametric_tree(rng, n_leaves)
+    topo = FlatTopology.from_tree(tree)
+    k = topo.n - 2
+    if lik == "full":
+        a = rng.normal(size=(k, k)) / np.sqrt(k)
+        sigma = a @ a.T + np.eye(k) * 0.05
+        mu = rng.uniform(0.05, 0.5, size=k)
+        data = mvn.LikelihoodData.full(mu, np.linalg.inv(sigma),
+                                       np.linalg.slogdet(sigma)[1])
+    else:
+        data = mvn.LikelihoodData.none()
+    model = DatingModel(topo=topo, likelihood=data)
+    table = P.build_proposal_table(topo, model.braces, False)
+    C = 64
+    state = init_state(tree, topo, dtype=jnp.float32)
+    batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape), state)
+    r = rng.gamma(5.0, 0.2, size=(C, topo.n)); r[:, 0] = 1.0
+    batch = batch.replace(rates=jnp.asarray(r, jnp.float32))
+    tuning = jnp.ones((C, table.n_proposals), jnp.float32)
+    return model, table, batch, tuning, topo
+
+def moments(kern, batch, tuning, topo, n_rounds=25, burn=5, seed=1):
+    run = jax.jit(lambda b, tu, k2: kern.sweeps(b, tu, k2, 20))
+    key = jax.random.PRNGKey(seed)
+    hs, lp_last = [], None
+    b = batch
+    for it in range(n_rounds):
+        key, k1 = jax.random.split(key)
+        b, lp, ll, acc, tot, _ = run(b, tuning, k1)
+        if it >= burn:
+            hs.append(np.asarray(b.heights))
+        lp_last = (b, lp, ll)
+    return np.concatenate(hs), lp_last
+"""
+
+
+def test_fast_matches_sequential_full_likelihood():
+    out = _run_child(COMMON + """
+model, table, batch, tuning, topo = build(10, "full")
+fast = FastSweeps(model, table)
+assert fast.plan.specs, "nothing batched"
+assert fast.plan.range_specs, "no range batches"
+hf, (bf, lpf, llf) = moments(fast, batch, tuning, topo)
+hs, _ = moments(MHKernel(model, table), batch, tuning, topo)
+inner = np.asarray(topo.inner_nodes)
+mf, ms = hf[:, inner].mean(0), hs[:, inner].mean(0)
+se = hf[:, inner].std(0) / np.sqrt(len(hf) / 16.0)
+err = np.abs(mf - ms)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+# carried log posterior must match a direct recomputation
+lp_direct = np.asarray(jax.vmap(model.log_posterior)(bf))
+lp_carried = np.asarray(lpf + llf)
+drift = np.abs(lp_direct - lp_carried).max()
+assert drift < 0.05, drift
+print("OK full", err.max(), drift)
+""")
+    assert "OK full" in out
+
+
+def test_fast_matches_sequential_prior_only():
+    out = _run_child(COMMON + """
+model, table, batch, tuning, topo = build(10, "none")
+fast = FastSweeps(model, table)
+hf, (bf, lpf, llf) = moments(fast, batch, tuning, topo)
+hs, _ = moments(MHKernel(model, table), batch, tuning, topo)
+inner = np.asarray(topo.inner_nodes)
+mf, ms = hf[:, inner].mean(0), hs[:, inner].mean(0)
+se = hf[:, inner].std(0) / np.sqrt(len(hf) / 16.0)
+err = np.abs(mf - ms)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+lp_direct = np.asarray(jax.vmap(model.log_prior)(bf))
+assert np.abs(lp_direct - np.asarray(lpf)).max() < 0.05
+print("OK prior", err.max())
+""")
+    assert "OK prior" in out
+
+
+def test_fast_with_calibrations_excludes_correctly():
+    """Calibrated model: tickets touching calibrated/constrained nodes must
+    route to the sequential phase, and the run must still match."""
+    out = _run_child(COMMON + """
+import json
+from mcmcdate_tpu.io.specs import load_calibrations_csv, load_constraints_csv
+def _q(*a, **k): pass
+rng = np.random.default_rng(3)
+tree = random_ultrametric_tree(rng, 8)
+topo = FlatTopology.from_tree(tree)
+names = [n for n in topo.names if n]
+leaves = [topo.names[i] for i in np.asarray(topo.leaf_nodes)]
+cal = load_calibrations_csv(
+    "Name,LeafA,LeafB,Lower,LowerPM,Upper,UpperPM\\n"
+    f"Root,{leaves[0]},{leaves[-1]},0.8,0.05,1.2,0.05\\n",
+    tree, topo, is_text=True, log=_q)
+con = load_constraints_csv(
+    "Name,YoungA,YoungB,OldA,OldB,PM\\n"
+    f"C1,{leaves[0]},{leaves[1]},{leaves[-2]},{leaves[-1]},0.05\\n",
+    tree, topo, is_text=True, log=_q)
+model = DatingModel(topo=topo, likelihood=mvn.LikelihoodData.none(),
+                    calibrations=cal, constraints=con, mean_root_height=1.0)
+table = P.build_proposal_table(topo, model.braces, True)
+fast = FastSweeps(model, table)
+# constrained/calibrated nodes never appear in batched point specs
+np_nodes = set(int(x) for x in np.asarray(cal.node).ravel())
+np_nodes |= set(int(x) for x in np.asarray(con.young).ravel())
+np_nodes |= set(int(x) for x in np.asarray(con.old).ravel())
+for k, s in fast.plan.specs.items():
+    if k in (P.K_SLIDE_NODE_ULTRA, P.K_SLIDE_NODES_CONTRA):
+        assert not (set(s.node[s.valid].tolist()) & np_nodes)
+C = 64
+state = init_state(tree, topo, dtype=jnp.float32)
+batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape), state)
+tuning = jnp.ones((C, table.n_proposals), jnp.float32)
+hf, (bf, lpf, llf) = moments(fast, batch, tuning, topo)
+hs, _ = moments(MHKernel(model, table), batch, tuning, topo)
+inner = np.asarray(topo.inner_nodes)
+mf, ms = hf[:, inner].mean(0), hs[:, inner].mean(0)
+se = hf[:, inner].std(0) / np.sqrt(len(hf) / 16.0)
+err = np.abs(mf - ms)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+lp_direct = np.asarray(jax.vmap(model.log_prior)(bf))
+assert np.abs(lp_direct - np.asarray(lpf)).max() < 0.05
+print("OK calibrated", err.max())
+""")
+    assert "OK calibrated" in out
