@@ -1,17 +1,19 @@
-"""Headline benchmark: MVN log-likelihood evaluations/sec/chip at 1k taxa.
+"""Headline benchmark: full-sweep proposal evaluations/sec/chip at 1k taxa.
 
-North-star metric from BASELINE.json: the reference evaluates its
-multivariate-normal likelihood approximation once per proposal on a single
-CPU core (hmatrix/LAPACK dgemv, O(n^2) per evaluation ≈ 8 MFLOP at n≈2000).
-A generous estimate for the reference on a laptop core — 2 GFLOP/s effective
-on dgemv plus tree-traversal overhead (bench/Bench.hs records ~6 us just for
-one lens edit) — gives ~250 evals/s at 1k taxa.  ``vs_baseline`` is measured
-evals/s divided by that 250/s estimate.
+The metric is END-TO-END: complete MCMC proposal executions (kernel sample,
+prior delta, incremental MVN likelihood delta, accept/reject, state update)
+per second, measured over whole sweeps of the production ticket-batched
+engine (engine/fast_sweep.py) at 1000 taxa x 1024 vmapped chains, f32.
 
-The TPU path evaluates the likelihood for a whole chain batch at once:
-heights -> branch lengths -> distances -> whitened residual (one MXU matmul
-against the precision Cholesky factor) -> quadratic form.  1024 chains per
-step, f32.
+Baseline: the reference executes one proposal per cycle element on a single
+CPU core; each full-MVN proposal costs an O(n^2) LAPACK dgemv (~8 MFLOP at
+n~2000) plus tree-walk overhead (bench/Bench.hs records ~6 us for one lens
+edit alone).  A generous 2 GFLOP/s effective gives ~250 proposals/s at 1k
+taxa.  ``vs_baseline`` is measured proposal-evals/s over that 250/s.
+
+The kernel-only MVN log-likelihood rate (round-1 headline; full path
+heights -> distances -> whitened residual -> quad form) is reported in the
+trailing comment for continuity.
 
 Prints ONE JSON line to stdout.
 """
@@ -67,6 +69,28 @@ def build(n_taxa=N_TAXA, n_chains=N_CHAINS, dtype=jnp.float32, seed=0):
     return model, batch
 
 
+def bench_sweep(model, batch):
+    """Full-sweep throughput of the production ticket-batched engine."""
+    from mcmcdate_tpu.engine import proposals as P
+    from mcmcdate_tpu.engine.fast_sweep import FastSweeps
+
+    table = P.build_proposal_table(model.topo, model.braces, False)
+    fast = FastSweeps(model, table)
+    tuning = jnp.ones((N_CHAINS, table.n_proposals), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    run = jax.jit(lambda b, tu, k2: fast.sweeps(b, tu, k2, 1))
+    out = run(batch, tuning, key)
+    _ = float(np.asarray(out[1])[0])  # hard sync (block can no-op on axon)
+    reps = 3
+    t0 = time.perf_counter()
+    o = out
+    for i in range(reps):
+        o = run(o[0], tuning, jax.random.fold_in(key, i))
+    _ = float(np.asarray(o[1])[0])
+    dt = (time.perf_counter() - t0) / reps
+    return table.n_tickets, dt
+
+
 def main():
     model, batch = build()
     iters = 100
@@ -98,16 +122,22 @@ def main():
 
     evals = N_CHAINS * iters
     evals_per_sec = evals / dt
+
+    n_tickets, sweep_dt = bench_sweep(model, batch)
+    prop_per_sec = n_tickets * N_CHAINS / sweep_dt
     result = {
-        "metric": "mvn_loglik_evals_per_sec_per_chip_1k_taxa",
-        "value": round(evals_per_sec, 1),
-        "unit": "evals/s",
-        "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 1),
+        "metric": "sweep_proposal_evals_per_sec_per_chip_1k_taxa",
+        "value": round(prop_per_sec, 1),
+        "unit": "proposal-evals/s",
+        "vs_baseline": round(prop_per_sec / BASELINE_EVALS_PER_SEC, 1),
     }
     print(json.dumps(result))
     print(
-        f"# {N_CHAINS} chains x {iters} iters in {dt:.3f}s on "
-        f"{jax.devices()[0].device_kind}; dim={model.likelihood.dim}",
+        f"# full sweep: {n_tickets} tickets x {N_CHAINS} chains in "
+        f"{sweep_dt:.2f}s/sweep; kernel-only MVN loglik: "
+        f"{evals_per_sec:.0f} evals/s ({N_CHAINS} chains x {iters} iters in "
+        f"{dt:.3f}s) on {jax.devices()[0].device_kind}; "
+        f"dim={model.likelihood.dim}",
         file=sys.stderr,
     )
 

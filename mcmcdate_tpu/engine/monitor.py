@@ -134,31 +134,52 @@ class MonitorWriter:
             f.close()
 
 
-def newick_from_arrays(topo, heights: Optional[np.ndarray], rates: Optional[np.ndarray]) -> str:
-    """Newick string from either node heights (branch = h_par - h) or branch
-    values (rates).  Mirrors monitorLengthTree (lib/Mcmc/Tree/Monitor.hs)."""
-    parts: List[str] = []
+_TEMPLATE_CACHE: Dict[int, list] = {}
 
-    def go(i: int):
+
+def _newick_template(topo) -> list:
+    """Static Newick skeleton for a topology: a list of string fragments
+    interleaved with integer node ids marking branch-length slots.  Built
+    iteratively (no recursion limit on deep caterpillar trees) and cached —
+    per-row rendering then only formats the numbers."""
+    tmpl = _TEMPLATE_CACHE.get(id(topo))
+    if tmpl is not None:
+        return tmpl
+    parts: list = []
+    stack = [(0, 0)]
+    while stack:
+        i, ci = stack[-1]
         nc = int(topo.n_children[i])
-        if nc:
+        if nc and ci == 0:
             parts.append("(")
-            for j in range(nc):
-                if j:
-                    parts.append(",")
-                go(int(topo.children[i, j]))
+        if ci < nc:
+            if ci:
+                parts.append(",")
+            stack[-1] = (i, ci + 1)
+            stack.append((int(topo.children[i, ci]), 0))
+            continue
+        if nc:
             parts.append(")")
         name = topo.names[i]
         if name:
             parts.append(name)
-        if i == 0:
-            b = 0.0
-        elif heights is not None:
-            b = float(heights[topo.parent[i]] - heights[i])
-        else:
-            b = float(rates[i])
-        parts.append(f":{b:.8g}")
-
-    go(0)
+        parts.append(i)  # branch slot
+        stack.pop()
     parts.append(";")
-    return "".join(parts)
+    _TEMPLATE_CACHE[id(topo)] = parts
+    return parts
+
+
+def newick_from_arrays(topo, heights: Optional[np.ndarray], rates: Optional[np.ndarray]) -> str:
+    """Newick string from either node heights (branch = h_par - h) or branch
+    values (rates).  Mirrors monitorLengthTree (lib/Mcmc/Tree/Monitor.hs)."""
+    if heights is not None:
+        b = heights[np.asarray(topo.parent)] - heights
+    else:
+        b = np.asarray(rates, float)
+    b = np.asarray(b, float)
+    b[0] = 0.0
+    return "".join(
+        p if isinstance(p, str) else f":{b[p]:.8g}"
+        for p in _newick_template(topo)
+    )

@@ -18,6 +18,14 @@ from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 
+import sys as _sys
+
+# The recursive-descent parser and tree walkers recurse once per nesting
+# level; a 1k-taxa caterpillar tree nests ~1000 deep, beyond CPython's
+# default limit.  Python frames live on the heap, so a high limit is safe.
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 100_000))
+
+
 class NewickError(ValueError):
     pass
 
@@ -161,8 +169,14 @@ def parse_newick(s: str) -> Node:
     def error(msg: str):
         raise NewickError(f"{msg} (at position {pos}: ...{s[max(0, pos - 10):pos + 10]!r}...)")
 
+    def skip_ws():
+        nonlocal pos
+        while pos < n and s[pos] in " \t\n\r":
+            pos += 1
+
     def parse_label() -> str:
         nonlocal pos
+        skip_ws()
         if pos < n and s[pos] == "'":
             pos += 1
             start = pos
@@ -186,6 +200,7 @@ def parse_newick(s: str) -> Node:
 
     def parse_length() -> float:
         nonlocal pos
+        skip_ws()
         if pos < n and s[pos] == ":":
             pos += 1
             start = pos
@@ -200,10 +215,12 @@ def parse_newick(s: str) -> Node:
     def parse_node() -> Node:
         nonlocal pos
         node = Node()
+        skip_ws()
         if pos < n and s[pos] == "(":
             pos += 1
             while True:
                 node.children.append(parse_node())
+                skip_ws()
                 if pos >= n:
                     error("Unexpected end of input inside group")
                 if s[pos] == ",":

@@ -1,0 +1,124 @@
+"""Cross-implementation accuracy benchmark: mtCDNApri vs PAML MCMCtree.
+
+The reference's flagship accuracy validation
+(bench/comparison_with_mcmctree/README.md:9-17) dates the 7-taxon
+mtCDNApri primate dataset with both McmcDate (UncorrelatedLogNormal +
+sparse MVN: ``./run -s -f analysis.conf -c ul s r``, README.md:629-631) and
+PAML MCMCtree, and records both programs' posterior node ages in
+``03_compare_estimates/out/compare_divtimes.tsv``.  Here we run THIS
+engine on the same committed inputs and assert our posterior mean ages
+land inside both programs' recorded ILN credible intervals (widened — the
+repository ships only a 10-tree subsample of the 20k-tree PhyloBayes
+posterior, so our MVN approximation is estimated from 8 post-burn-in
+samples and genuinely noisier than the original's).
+
+Ages are in My: calibrations B(6,8), B(12,16), U(100)
+(data/mtCDNApri_MD.trees).
+"""
+
+import csv
+import os
+import subprocess
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from mcmcdate_tpu import analyze
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = "/root/reference/bench/comparison_with_mcmctree"
+DATA = os.path.join(BENCH, "02_McmcDate/01_McmcDate/data")
+TSV = os.path.join(BENCH, "03_compare_estimates/out/compare_divtimes.tsv")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(TSV), reason="reference comparison data not mounted"
+)
+
+
+def _cli(args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    r = subprocess.run(
+        [sys.executable, "-m", "mcmcdate_tpu"] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=2700,
+    )
+    assert r.returncode == 0, f"CLI failed: {args}\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+    return r
+
+
+def _recorded():
+    """{name: {leaves, MD_ILN mean/q025/q975, MT_ILN mean/q025/q975}}"""
+    out = {}
+    with open(TSV) as fh:
+        rd = csv.DictReader(fh, delimiter="\t")
+        for row in rd:
+            out[row["name_calib"]] = dict(
+                leaves=(row["leaf1"], row["leaf2"]),
+                md=(float(row["MD_ILN-mean_t"]), float(row["MD_ILN-q2.5%"]),
+                    float(row["MD_ILN-q97.5%"])),
+                mt=(float(row["MT_ILN-mean_t"]), float(row["MT_ILN-q2.5%"]),
+                    float(row["MT_ILN-q97.5%"])),
+            )
+    return out
+
+
+def test_mtcdnapri_ages_match_both_implementations(tmp_path):
+    d = str(tmp_path)
+    _cli(["prepare", "-a", "mt",
+          "--rooted-tree", os.path.join(DATA, "pb_rooted_mitCDNApri.tree"),
+          "--trees", os.path.join(DATA, "unr_lg_g5_ncat1.treelist"),
+          "--likelihood-spec", "sparse 0.1", "--out-dir", d], cwd=d)
+    _cli(["run", "-a", "mt", "--likelihood-spec", "sparse 0.1",
+          "--relaxed-molecular-clock", "UncorrelatedLogNormal",
+          "--calibrations", f"tree {os.path.join(DATA, 'mtCDNApri_MD.trees')}",
+          "--iterations", "2000", "--chains", "4", "--seed", "11",
+          "--out-dir", d], cwd=d)
+
+    its, trees = analyze.read_tree_monitor(os.path.join(d, "mt.timetree.monitor"))
+    trees = trees[len(trees) // 4:]
+    acc = defaultdict(list)
+    for t in trees:
+        for n in t.preorder():
+            if not n.is_leaf:
+                acc[frozenset(n.leaf_names())].append(n.root_height())
+    ages = {cl: float(np.mean(v)) for cl, v in acc.items()}
+
+    def mrca_age(a, b):
+        best = None
+        for cl in ages:
+            if a in cl and b in cl and (best is None or len(cl) < len(best)):
+                best = cl
+        return ages[best]
+
+    rec = _recorded()
+    report = []
+    for name, r in rec.items():
+        ours = mrca_age(*r["leaves"])
+        for prog in ("md", "mt"):
+            mean, lo, hi = r[prog]
+            # Widen the recorded 95% interval by half its width on each
+            # side: our likelihood surface comes from the committed 10-tree
+            # subsample, not the original 20k-tree posterior.
+            w = (hi - lo) / 2.0
+            assert lo - w <= ours <= hi + w, (
+                f"{name}: our age {ours:.2f} outside {prog.upper()}-ILN "
+                f"[{lo}, {hi}] (+/- {w:.2f}) — MD mean {r['md'][0]}, "
+                f"MT mean {r['mt'][0]}"
+            )
+        report.append((name, ours, r["md"][0], r["mt"][0]))
+
+    path = os.environ.get("PARITY_OUT")
+    if path:
+        import json
+
+        with open(path, "a") as fh:
+            fh.write(json.dumps({
+                "fixture": "mtCDNApri-vs-MCMCtree",
+                "nodes": [
+                    {"name": n, "ours_My": round(o, 2), "mcmcdate_ILN": m1,
+                     "mcmctree_ILN": m2} for n, o, m1, m2 in report
+                ],
+            }) + "\n")
