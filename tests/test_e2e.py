@@ -197,6 +197,59 @@ def test_hamiltonian_cli(workdir):
     assert (d / "ham.params.monitor").exists()
     n = sum(1 for _ in open(d / "ham.params.monitor"))
     assert n > 10
+    with open(d / "ham.run.log") as fh:
+        log = fh.read()
+    # The in-cycle NUTS move reports per-run acceptance statistics.
+    assert "NUTS in-cycle move: mean acceptance" in log
+
+
+def test_mc3_hamiltonian_cli(workdir):
+    """--hamiltonian rides inside MC3's heated chains (round 1 silently
+    ignored it; the NUTS target of chain k is beta_k * posterior)."""
+    d, _ = workdir
+    _cli(
+        ["run", "-a", "mc3ham", "--preparation-name", "an",
+         "--likelihood-spec", "full", "--mc3", "--hamiltonian",
+         "--profile", "--iterations", "100", "--chains", "2", "--seed", "6"],
+        cwd=str(d),
+    )
+    with open(d / "mc3ham.run.log") as fh:
+        log = fh.read()
+    assert "MC3" in log and "NUTS adaptation: eps" in log
+    n = sum(1 for _ in open(d / "mc3ham.params.monitor"))
+    assert n > 20
+    # Continue must resume as MC3 *with* the NUTS move (meta sidecar).
+    _cli(
+        ["continue", "-a", "mc3ham", "--preparation-name", "an",
+         "--likelihood-spec", "full",
+         "--profile", "--iterations", "40", "--chains", "2"],
+        cwd=str(d),
+    )
+    with open(d / "mc3ham.continue.log") as fh:
+        clog = fh.read()
+    assert "continuing with mc3" in clog.lower()
+
+
+def test_marginal_likelihood_hamiltonian_cli(workdir):
+    d, _ = workdir
+    if not (d / "nolik.data").exists():  # independent of test order
+        _cli(
+            ["prepare", "-a", "nolik", "--rooted-tree", "data/time.tree",
+             "--trees", "data/trees.nwk", "--likelihood-spec", "none"],
+            cwd=str(d),
+        )
+    _cli(
+        ["marginal-likelihood", "-a", "nolik2", "--preparation-name", "nolik",
+         "--likelihood-spec", "none", "--hamiltonian",
+         "--profile", "--iterations", "50", "--chains", "2", "--seed", "8"],
+        cwd=str(d),
+    )
+    with open(d / "nolik2.mlh.log") as fh:
+        log = fh.read()
+    assert "log marginal likelihood" in log
+    assert "NUTS adaptation: eps" in log
+    val = float(log.rsplit("stepping stone):", 1)[1].split()[0])
+    assert abs(val) < 1e-5
 
 
 def test_mismatched_spec_fails(workdir):
