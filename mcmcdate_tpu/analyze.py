@@ -15,9 +15,8 @@ trees-monitor-to-nexus, trees-midpoint-root, tree-identify — SURVEY.md §2.3):
 
 from __future__ import annotations
 
-import csv
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

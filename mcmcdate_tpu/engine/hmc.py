@@ -20,8 +20,7 @@ acceptance; the diagonal mass matrix adapts from warmup variances
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

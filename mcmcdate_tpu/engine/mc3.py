@@ -11,9 +11,6 @@ chain of each group is monitored.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,7 +20,7 @@ from ..models.state import State
 from . import checkpoint as ckpt
 from . import proposals as props
 from .chains import ChainRunner, RunSettings
-from .mh import MHKernel, tune_step
+from .mh import tune_step
 from .monitor import MonitorWriter
 
 N_TEMPS = 4

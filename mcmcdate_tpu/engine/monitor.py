@@ -18,13 +18,11 @@ Monitors fire every ``period`` iterations (2 in the reference).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import IO, Dict, List, Optional
+from typing import IO, Dict, Optional
 
 import numpy as np
 
 from ..models.dating import DatingModel
-from ..tree.rose import Node
 
 
 def _fmt(x: float) -> str:
