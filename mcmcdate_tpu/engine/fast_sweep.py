@@ -25,21 +25,35 @@ sequential acceptance distribution (tickets in a fixed order within the
 batch — a valid MCMC composition; the reference's global shuffle is a
 uniformly random composition, equally valid).
 
-Batched kinds (stage 1):
+Batched kinds:
 
-- ``K_SLIDE_NODES_CONTRA`` — distance-invariant: no likelihood work at all;
-  accept the whole batch in one vectorized step.
-- ``K_SLIDE_NODE_ULTRA`` and ``K_SCALE_BRANCH_RATE`` — likelihood-coupled
-  point tickets with the correction scan.
+- Point tickets — ``K_SLIDE_NODES_CONTRA`` (distance-invariant: no
+  likelihood work at all, whole batch accepted in one vectorized step),
+  ``K_SLIDE_NODE_ULTRA`` and ``K_SCALE_BRANCH_RATE`` (likelihood-coupled,
+  with the correction scan).
+- Subtree-range tickets — ``K_SCALE_SUBTREE_ULTRA``,
+  ``K_SCALE_SUBTREE_RATE`` (likelihood-coupled; each ticket's distance
+  delta is RANK-1, ``delta_b = (xi_b - 1) g_b``, so pairwise cross terms
+  reduce to small quadratics in P blocks) and ``K_SCALE_SUBTREES_CONTRA``
+  (distance-invariant).  Sub-blocks come in size buckets sharing a fixed
+  1024-row grid (``RANGE_BUCKETS``); the range phase runs in the
+  transposed ``[param, chains]`` layout, and all P/z/d row accesses go
+  through one-hot MXU matmuls (advanced-index gathers cost ~5 ms flat on
+  this backend; the matmul form ~0.5 ms).
 
 Excluded from batching (routed to the sequential fallback, mh.MHKernel on a
 sub-table): root-Jacobian rows, tickets whose node participates in a
-calibration/constraint/brace term, and all remaining kinds (subtree
-scales, pulley, hyper-parameter and contrary-global moves, braced slides).
+calibration/constraint/brace term, subtrees larger than ``RB_MAX``, and
+the remaining kinds (pulley, hyper-parameter and contrary-global moves,
+braced slides) — at 1k taxa ~2% of tickets.
 
 Planner: host-side greedy coloring of the conflict graph (parent-child
-pairs and repeated-weight copies of the same row conflict), packing each
-color class into mega-steps of at most ``BATCH_MAX`` tickets.
+pairs, repeated-weight copies of the same row, subtree-range overlap),
+packing each color class into mega-steps of at most ``BATCH_MAX`` tickets
+(point kinds) or bucketed sub-blocks (range kinds).
+
+Measured at 1000 taxa x 1024 chains: 1.30 s/sweep vs 16-20 s for the
+sequential scan (see PERF.md).
 """
 
 from __future__ import annotations
