@@ -85,6 +85,139 @@ def summarize_trees(
     return out
 
 
+def _node_heights(trees: List[Node], topo: FlatTopology) -> np.ndarray:
+    """Node heights (age above the leaves) per tree, [n_trees, n_nodes]."""
+    out = []
+    for t in trees:
+        lens = np.fromiter((n.length for n in t.preorder()), float)
+        h = np.zeros(topo.n)
+        for i in range(1, topo.n):
+            h[i] = h[topo.parent[i]] - lens[i]
+        h -= h.min()
+        out.append(h)
+    return np.stack(out)
+
+
+def summarize_trees_ultrametric(
+    path: str,
+    *,
+    burn_in_fraction: float = 0.25,
+    quantiles: Sequence[float] = (0.025, 0.5, 0.975),
+    write_files: bool = True,
+) -> dict:
+    """Posterior summary trees that are ULTRAMETRIC by construction.
+
+    The equivalent of scripts/trees-monitor-summary-ultrametric: summarize a
+    time-tree monitor in NODE-HEIGHT space rather than branch space.  The
+    mean-height tree equals the per-branch mean tree (mean of sums = sum of
+    means — the reference script's own remark), but quantile trees built
+    from per-branch quantiles are NOT ultrametric; per-node quantile heights
+    are (parent > child pointwise in every sample implies the same for any
+    quantile).  Outputs, mirroring the reference script's files for monitor
+    path ``<stem>.monitor``:
+
+    - ``<stem>.tree.mean``     Newick, mean node heights (ultrametric)
+    - ``<stem>.tree.variance`` Newick, per-branch variances (reference parity)
+    - ``<stem>.tree.q<q>``     Newick per quantile, node-height quantiles
+    - ``<stem>.tree.combined`` Nexus, mean tree with
+      ``[&index=..,posterior=1.0,age_95%_HPD={l,u}]`` node comments
+    - ``<stem>.ages.summary``  per-node Index/Name/Mean/Variance/Min/Max/CI
+    - ``<stem>.ages.full``     per-node list of sampled ages
+
+    Returns the summary as a dict (newick strings + per-node table).
+    """
+    its, trees = read_tree_monitor(path)
+    n_burn = int(len(trees) * burn_in_fraction)
+    trees = trees[n_burn:]
+    if not trees:
+        raise ValueError("summarize_trees_ultrametric: no trees after burn-in")
+    base = trees[0]
+    topo = FlatTopology.from_tree(base)
+    H = _node_heights(trees, topo)  # [n_trees, n_nodes]
+
+    def tree_from_heights(h) -> str:
+        t = base.copy()
+        nodes = list(t.preorder())
+        for i, nd in enumerate(nodes):
+            nd.length = float(h[topo.parent[i]] - h[i]) if i else 0.0
+        return write_newick(t)
+
+    out = {"n": len(trees), "mean": tree_from_heights(H.mean(axis=0))}
+    for q in quantiles:
+        out[f"q{q}"] = tree_from_heights(np.quantile(H, q, axis=0))
+
+    # Per-branch variance tree (what the reference's .tree.variance holds).
+    lens = np.stack(
+        [np.fromiter((n.length for n in t.preorder()), float) for t in trees]
+    )
+    var_t = base.copy()
+    for nd, v in zip(var_t.preorder(), lens.var(axis=0, ddof=1)):
+        nd.length = float(v)
+    out["variance"] = write_newick(var_t)
+
+    # Per-node age table (reference's .ages.summary: central 95% interval
+    # from the sorted slice [floor(.025 n), floor(.025 n) + floor(.95 n))).
+    n_s = H.shape[0]
+    i_ci = int(np.floor(n_s * 0.025))
+    n_ci = int(np.floor(n_s * 0.95))
+    Hs = np.sort(H, axis=0)
+    ci_l = Hs[i_ci]
+    ci_u = Hs[min(i_ci + n_ci, n_s) - 1]
+    table = {}
+    for i in range(topo.n):
+        name = topo.names[i] or str(i)
+        table[name] = dict(
+            index=i,
+            mean=float(H[:, i].mean()),
+            variance=float(H[:, i].var(ddof=1)) if n_s > 1 else 0.0,
+            min=float(H[:, i].min()),
+            max=float(H[:, i].max()),
+            ci_lower=float(ci_l[i]),
+            ci_upper=float(ci_u[i]),
+        )
+    out["ages"] = table
+
+    # Combined tree: mean heights, node comments with index + age HPD.
+    comb = parse_newick(out["mean"])
+    for i, nd in enumerate(comb.preorder()):
+        key = topo.names[i] or str(i)
+        s = table[key]
+        nd.comment = (
+            f"[&index={i},posterior=1.0,"
+            f"age_95%_HPD={{{s['ci_lower']:.6g},{s['ci_upper']:.6g}}}]"
+        )
+    out["combined"] = write_newick(comb)
+
+    if write_files:
+        stem = os.path.splitext(path)[0]
+        with open(stem + ".tree.mean", "w") as fh:
+            fh.write(out["mean"] + "\n")
+        with open(stem + ".tree.variance", "w") as fh:
+            fh.write(out["variance"] + "\n")
+        for q in quantiles:
+            with open(f"{stem}.tree.q{q}", "w") as fh:
+                fh.write(out[f"q{q}"] + "\n")
+        with open(stem + ".tree.combined", "w") as fh:
+            fh.write("#NEXUS\n\nBegin trees;\n")
+            fh.write(f"  tree Tree1 = {out['combined']}\n")
+            fh.write("End;\n")
+        with open(stem + ".ages.summary", "w") as fh:
+            fh.write("Index\tName\tMean\tVariance\tMin\tMax\t"
+                     "95CILower\t95CIUpper\n")
+            for name, s in table.items():
+                fh.write(
+                    f"{s['index']}\t{name}\t{s['mean']:.6g}\t"
+                    f"{s['variance']:.6g}\t{s['min']:.6g}\t{s['max']:.6g}\t"
+                    f"{s['ci_lower']:.6g}\t{s['ci_upper']:.6g}\n"
+                )
+        with open(stem + ".ages.full", "w") as fh:
+            fh.write("Index\tName\tAges\n")
+            for name, s in table.items():
+                ages = "\t".join(f"{a:.6g}" for a in H[:, s["index"]])
+                fh.write(f"{s['index']}\t{name}\t{ages}\n")
+    return out
+
+
 def node_age_summary(path: str, *, burn_in_fraction: float = 0.25) -> dict:
     """Posterior node ages (heights) per internal node from a time-tree
     monitor; the basis for comparing against the reference's estimates."""

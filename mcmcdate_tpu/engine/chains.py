@@ -26,6 +26,22 @@ from .monitor import MonitorWriter
 CHUNK = 10  # sweeps per jitted call; all reference schedules are multiples
 
 
+def _slim_outs(outs):
+    """Slice the per-node monitor leaves to chain 0 ON DEVICE before the
+    host transfer: only chain 0's heights/rates are ever written to the
+    tree monitors, but shipping the full [sweeps, chains, nodes] arrays
+    through the device tunnel dominated monitor overhead (~0.4 s/sweep at
+    1k taxa x 1024 chains).  Scalar leaves keep all chains (cross-chain
+    diagnostics need them)."""
+    if not isinstance(outs, dict):
+        return outs
+    slim = dict(outs)
+    for k in ("heights", "rates"):
+        if k in slim:
+            slim[k] = slim[k][:, :1]
+    return slim
+
+
 @dataclass
 class RunSettings:
     """Mirrors the reference ``Settings`` (app/Main.hs:444-456)."""
@@ -54,11 +70,17 @@ class ChainRunner:
         self.log = log
         from ..ops import mvn as _mvn
 
-        if settings.fast_sweep and model.likelihood.kind != _mvn.UNIVARIATE:
-            # Ticket-batched sweep (fast_sweep.py); the univariate kind
-            # stays on the sequential path (already O(N) per ticket).
-            from .fast_sweep import FastSweeps
+        from .fast_sweep import UNIVARIATE_DENSE_MAX, FastSweeps
 
+        univariate_too_big = (
+            model.likelihood.kind == _mvn.UNIVARIATE
+            and model.likelihood.dim > UNIVARIATE_DENSE_MAX
+        )
+        if settings.fast_sweep and not univariate_too_big:
+            # Ticket-batched sweep (fast_sweep.py).  The univariate kind
+            # rides it as a dense diagonal up to UNIVARIATE_DENSE_MAX dims
+            # (sweep cost is per-HLO overhead, not arithmetic); beyond
+            # that the O(N) sequential path avoids the O(N^2) diagonal.
             self.kern = FastSweeps(model, table)
         else:
             self.kern = MHKernel(model, table)
@@ -120,17 +142,19 @@ class ChainRunner:
             move = self.nuts.move
 
             def run_nuts(batch, tuning, key, eps, inv_mass):
-                return self.kern.sweeps(
+                b, lp_pr, lp_lik, acc, tot, outs, ast = self.kern.sweeps(
                     batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll,
                     nuts_move=move, nuts_eps=eps, nuts_inv_mass=inv_mass,
                 )
+                return b, lp_pr, lp_lik, acc, tot, _slim_outs(outs), ast
 
             return jax.jit(run_nuts)
 
         def run(batch, tuning, key):
-            return self.kern.sweeps(
+            b, lp_pr, lp_lik, acc, tot, outs = self.kern.sweeps(
                 batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll
             )
+            return b, lp_pr, lp_lik, acc, tot, _slim_outs(outs)
 
         return jax.jit(run)
 
@@ -228,7 +252,11 @@ class ChainRunner:
                 )
         if self.nuts is not None:
             self.nuts.finalize_adaptation()
-            self.log(f"NUTS adaptation: eps {self.nuts.eps:.5f}")
+            im = np.asarray(self.nuts.inv_mass)
+            self.log(
+                f"NUTS adaptation: eps {self.nuts.eps:.5f}, "
+                f"inv_mass [{im.min():.3g}, {im.max():.3g}]"
+            )
         return batch, tuning, key
 
     def sample(self, batch, tuning, key, iterations, monitor: Optional[MonitorWriter],

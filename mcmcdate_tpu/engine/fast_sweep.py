@@ -72,6 +72,7 @@ from ..ops import birth_death as BD
 from ..ops import clocks as CK
 from ..ops import mvn as mvn_mod
 from ..ops.dists import gamma_scale_sample, truncated_normal_sample
+from ..ops.node_priors import SQRT_2_OVER_PI
 from . import proposals as P
 from .mh import MHKernel
 
@@ -95,6 +96,26 @@ def bd_term_local(h_node, h_parent, is_leaf, la, mu):
     log_d = jnp.where(dt > 0, log_d, -jnp.inf)
     log_boundary = jnp.where(is_leaf, 0.0, jnp.log(la))
     return log_d + log_boundary
+
+
+def _cal_terms_local(h_new, height, lo, lo_s, hi, hi_s, dtype):
+    """Soft-calibration log term(s) for a node at (relative) height
+    ``h_new`` under absolute-height multiplier ``height``
+    (calibrateSoftF, Calibration.hs:369-392; matches
+    node_priors.calibrate_constrain_brace_terms row-for-row).  All
+    arguments broadcast; ``lo``/``hi`` are absolute bounds, ``*_s`` the
+    pre-multiplied tail sigmas ``sqrt(2/pi) * pm``."""
+    lo_rel = jnp.asarray(lo, dtype) / height
+    hi_rel = jnp.asarray(hi, dtype) / height
+    below = jnp.clip(lo_rel - h_new, min=0.0)
+    above = jnp.clip(h_new - hi_rel, min=0.0)
+    s_lo = jnp.asarray(lo_s, dtype)
+    s_hi = jnp.asarray(hi_s, dtype)
+    s_lo_safe = jnp.where(s_lo > 0, s_lo, 1.0)
+    s_hi_safe = jnp.where(s_hi > 0, s_hi, 1.0)
+    return -0.5 * (below / s_lo_safe) ** 2 - 0.5 * jnp.where(
+        jnp.isfinite(hi_rel), (above / s_hi_safe) ** 2, 0.0
+    )
 
 
 def clock_term_local(model_clock, r, t, var):
@@ -147,6 +168,13 @@ class MegaSpec:
     t_rows: np.ndarray    # int32[M, B, KT] touched term rows (-1 pad)
     d_rows: np.ndarray    # int32[M, B, KD] touched distance rows (-1 pad)
     sd: np.ndarray        # f64[M, B] base kernel parameter (sd / shape)
+    # Calibration slots (height-changing kinds only; round-3 extension so
+    # calibrated nodes batch too): term rows + soft-density parameters of
+    # the node's own calibrations.  Slot j maps to t_rows slot KT-KN+j.
+    cal_lo: np.ndarray    # f64[M, B, KN] absolute lower bound (0 if none)
+    cal_lo_s: np.ndarray  # f64[M, B, KN] sqrt(2/pi) * lower pm (1 if none)
+    cal_hi: np.ndarray    # f64[M, B, KN] absolute upper bound (inf if none)
+    cal_hi_s: np.ndarray  # f64[M, B, KN] sqrt(2/pi) * upper pm (1 if none)
 
     @property
     def n_mega(self) -> int:
@@ -180,6 +208,15 @@ class RangeSpec:
     n_nodes: np.ndarray  # int32[M, S] nodes (branches) in subtree
     own: np.ndarray      # int32[M, S, RB] covered node rows (-1 pad)
     own_par: np.ndarray  # int32[M, S, RB] parent of each covered row
+    # Calibration slots for calibrated nodes INSIDE the range (their
+    # heights all scale by the ticket's xi): term rows, source nodes, and
+    # soft-density parameters; -1 pad on cal_t_rows.
+    cal_t_rows: np.ndarray  # int32[M, S, KN] term rows (-1 pad)
+    cal_hsrc: np.ndarray    # int32[M, S, KN] node whose height feeds slot
+    cal_lo: np.ndarray      # f64[M, S, KN]
+    cal_lo_s: np.ndarray    # f64[M, S, KN]
+    cal_hi: np.ndarray      # f64[M, S, KN]
+    cal_hi_s: np.ndarray    # f64[M, S, KN]
 
     @property
     def n_blocks(self) -> int:
@@ -226,7 +263,29 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
     children = np.asarray(topo.children)
     kc = children.shape[1]
     pos = np.asarray(topo.internal_pos)
-    np_nodes = _node_prior_nodes(model)
+
+    # Node-prior involvement splits in two (round-3 extension):
+    # - CALIBRATION terms are elementwise in the node's own height, so
+    #   calibrated nodes batch fine — the mega-steps just recompute the
+    #   node's calibration term row(s) alongside bd/clock
+    #   (calibrateSoftF, Calibration.hs:369-392, is h_i-local).
+    # - CONSTRAINT/BRACE terms couple OTHER nodes' heights
+    #   (constrainSoftF/braceSoftF); tickets on those nodes stay
+    #   sequential.
+    cal = model.calibrations
+    hard_np: set = set()
+    if model.constraints.n:
+        hard_np.update(int(x) for x in np.asarray(model.constraints.young))
+        hard_np.update(int(x) for x in np.asarray(model.constraints.old))
+    if model.braces.n:
+        hard_np.update(
+            int(x) for x in np.asarray(model.braces.node).ravel() if x >= 0
+        )
+    cal_rows_of: Dict[int, List[int]] = {}
+    if cal.n:
+        for cr, nd_ in enumerate(np.asarray(cal.node)):
+            cal_rows_of.setdefault(int(nd_), []).append(cr)
+    nodes_off = 4 + 2 * (n + 1)  # term-vector offset of calibration rows
 
     kind = np.asarray(table.kind)
     node = np.asarray(table.node)
@@ -242,14 +301,12 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
         if k not in BATCHED_KINDS:
             continue
         i = int(node[r])
-        if root_jac[r] or i in np_nodes:
-            continue  # root-adjacent or node-prior-involved: sequential
-        if k in (P.K_SLIDE_NODE_ULTRA, P.K_SLIDE_NODES_CONTRA):
-            # Children must not be node-prior nodes either (their heights
-            # are read, not written — safe — but the contra variant writes
-            # their RATES, which node priors never read; only i's height
-            # matters.  Keep i-only exclusion.)
-            pass
+        if root_jac[r]:
+            continue  # root-adjacent: sequential
+        if k != P.K_SCALE_BRANCH_RATE and i in hard_np:
+            continue  # constraint/brace terms couple other nodes
+        # (K_SCALE_BRANCH_RATE touches rates only; node priors never read
+        # rates, so no node-prior exclusion applies to it at all.)
         seq_row_mask[r] = False
         batched_tickets[k].extend([r] * int(weight[r]))
 
@@ -292,7 +349,14 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
         # that, symmetric in both directions.
         m = len(colors)
         b = max(len(c) for c in colors)
-        kt = 2 * (1 + kc)  # bd + clock rows for node + children
+        if k == P.K_SCALE_BRANCH_RATE:
+            kn = 0  # rates only: calibration terms unaffected
+        else:
+            kn = max(
+                (len(cal_rows_of.get(int(node[t]), ())) for t in tickets),
+                default=0,
+            )
+        kt = 2 * (1 + kc) + kn  # bd + clock rows for node + children + cal
         kd = 1 if k == P.K_SCALE_BRANCH_RATE else 1 + kc
         S = dict(
             rows=np.zeros((m, b), np.int32),
@@ -303,6 +367,10 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
             t_rows=np.full((m, b, kt), -1, np.int32),
             d_rows=np.full((m, b, kd), -1, np.int32),
             sd=np.zeros((m, b), np.float64),
+            cal_lo=np.zeros((m, b, kn), np.float64),
+            cal_lo_s=np.ones((m, b, kn), np.float64),
+            cal_hi=np.full((m, b, kn), np.inf, np.float64),
+            cal_hi_s=np.ones((m, b, kn), np.float64),
         )
         bd_off = 4
         ck_off = 4 + (n + 1)
@@ -325,6 +393,16 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                     tl += [bd_off + c for c in cs]
                     tl += [ck_off + c for c in cs]
                     S["t_rows"][ci, s, : len(tl)] = tl
+                    for j, cr in enumerate(cal_rows_of.get(i, ())):
+                        S["t_rows"][ci, s, 2 * (1 + kc) + j] = nodes_off + cr
+                        S["cal_lo"][ci, s, j] = cal.lower[cr]
+                        S["cal_lo_s"][ci, s, j] = (
+                            SQRT_2_OVER_PI * cal.lower_pm[cr]
+                        )
+                        S["cal_hi"][ci, s, j] = cal.upper[cr]
+                        S["cal_hi_s"][ci, s, j] = (
+                            SQRT_2_OVER_PI * cal.upper_pm[cr]
+                        )
                     if k == P.K_SLIDE_NODE_ULTRA:
                         dl = sorted({int(pos[i])} | {int(pos[c]) for c in cs})
                         S["d_rows"][ci, s, : len(dl)] = dl
@@ -344,8 +422,11 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
         if root_jac[r] or size > RB_MAX:
             continue
         if k != P.K_SCALE_SUBTREE_RATE:
-            # Height-changing kinds: no node-prior node inside the range.
-            if any(i <= x < subtree_end[i] for x in np_nodes):
+            # Height-changing kinds: constraint/brace nodes inside the
+            # range stay sequential; CALIBRATED nodes are handled by the
+            # per-ticket cal slots (their heights scale by the ticket's
+            # xi, an elementwise term update).
+            if any(i <= x < subtree_end[i] for x in hard_np):
                 continue
         seq_row_mask[r] = False
         range_tickets[k].extend([r] * int(weight[r]))
@@ -389,6 +470,16 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                 for s0 in range(0, len(col), subr):
                     blocks.append(col[s0:s0 + subr])
             m = len(blocks)
+            if k == P.K_SCALE_SUBTREE_RATE:
+                kn = 0
+            else:
+                kn = max(
+                    (sum(len(cal_rows_of.get(x, ()))
+                         for x in range(int(node[t]),
+                                        int(subtree_end[node[t]])))
+                     for t in tickets),
+                    default=0,
+                )
             S = dict(
                 rows=np.zeros((m, subr), np.int32),
                 node=np.zeros((m, subr), np.int32),
@@ -399,6 +490,12 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                 n_nodes=np.ones((m, subr), np.int32),
                 own=np.full((m, subr, rb), -1, np.int32),
                 own_par=np.zeros((m, subr, rb), np.int32),
+                cal_t_rows=np.full((m, subr, kn), -1, np.int32),
+                cal_hsrc=np.zeros((m, subr, kn), np.int32),
+                cal_lo=np.zeros((m, subr, kn), np.float64),
+                cal_lo_s=np.ones((m, subr, kn), np.float64),
+                cal_hi=np.full((m, subr, kn), np.inf, np.float64),
+                cal_hi_s=np.ones((m, subr, kn), np.float64),
             )
             for bi, blk in enumerate(blocks):
                 for s, t in enumerate(blk):
@@ -413,6 +510,21 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                     S["n_nodes"][bi, s] = n_nodes_sub[i]
                     S["own"][bi, s, : hi - lo] = np.arange(lo, hi)
                     S["own_par"][bi, s, : hi - lo] = parent[lo:hi]
+                    if kn:
+                        slot = 0
+                        for x in range(lo, hi):
+                            for cr in cal_rows_of.get(x, ()):
+                                S["cal_t_rows"][bi, s, slot] = nodes_off + cr
+                                S["cal_hsrc"][bi, s, slot] = x
+                                S["cal_lo"][bi, s, slot] = cal.lower[cr]
+                                S["cal_lo_s"][bi, s, slot] = (
+                                    SQRT_2_OVER_PI * cal.lower_pm[cr]
+                                )
+                                S["cal_hi"][bi, s, slot] = cal.upper[cr]
+                                S["cal_hi_s"][bi, s, slot] = (
+                                    SQRT_2_OVER_PI * cal.upper_pm[cr]
+                                )
+                                slot += 1
             range_specs[(k, rb)] = RangeSpec(kind=k, **S)
 
     seq_rows = np.nonzero(seq_row_mask)[0].astype(np.int32)
@@ -452,12 +564,22 @@ def _subset_table(table: P.ProposalTable, rows: np.ndarray) -> P.ProposalTable:
 # ---------------------------------------------------------------------------
 
 
+UNIVARIATE_DENSE_MAX = 4096  # dims; above this the diagonal kind stays O(N)
+
+
 class FastSweeps:
     """Drop-in alternative to ``MHKernel.sweeps`` using the batched plan.
 
     The interface matches ``MHKernel.sweeps``; NUTS piggy-backs identically.
-    Only usable with the FULL/SPARSE (dense precision) or NONE likelihood
-    kinds — for UNIVARIATE the sequential path is already O(N) and cheap.
+    Usable with the FULL/SPARSE (dense precision), NONE, and — up to
+    ``UNIVARIATE_DENSE_MAX`` dims — UNIVARIATE likelihood kinds.  The
+    diagonal kind rides the dense machinery with ``P = diag(1/var)`` and
+    ``L = diag(1/sd)``: the sweep cost on this platform is per-HLO ticket
+    overhead, not arithmetic (the round-2 finding), so the O(N) sequential
+    path loses to the batched dense path by ~10x regardless of the
+    likelihood's sparsity; the O(N^2) materialization is only gated at
+    very large N, where the sequential path remains the fallback
+    (Probability.hs:186-193 is the reference's O(N) evaluation).
     """
 
     def __init__(self, model: DatingModel, table: P.ProposalTable):
@@ -466,9 +588,21 @@ class FastSweeps:
         self.plan = plan_batches(model, table)
         self.seq_kern = MHKernel(model, self.plan.seq_table)
         self.use_lik = model.likelihood.kind != mvn_mod.NONE
-        if self.use_lik:
+        if model.likelihood.kind == mvn_mod.UNIVARIATE:
+            if model.likelihood.dim > UNIVARIATE_DENSE_MAX:
+                raise ValueError(
+                    "FastSweeps univariate path materializes a diagonal "
+                    f"{model.likelihood.dim}^2 precision; use the "
+                    "sequential kernel above "
+                    f"{UNIVARIATE_DENSE_MAX} dims"
+                )
+            inv_sd = np.asarray(model.inv_sd_internal, np.float64)
+            self._prec_int = np.diag(inv_sd * inv_sd)
+            self._chol_int = np.diag(inv_sd)
+        elif self.use_lik:
             perm = model.topo.ref_to_internal_perm
             self._prec_int = model.likelihood.precision[np.ix_(perm, perm)]
+            self._chol_int = model.chol_internal
 
     # -- carried-quantity conversions ----------------------------------
 
@@ -476,7 +610,7 @@ class FastSweeps:
         if not self.use_lik:
             C = y.shape[0]
             return jnp.zeros((C, 0), dtype), jnp.zeros((C,), dtype)
-        L = jnp.asarray(self.model.chol_internal, dtype)
+        L = jnp.asarray(self._chol_int, dtype)
         z = y @ L.T
         q = jnp.sum(y * y, axis=-1)
         return z, q
@@ -484,7 +618,7 @@ class FastSweeps:
     def _y_from_d(self, d, dtype):
         if not self.use_lik:
             return jnp.zeros((d.shape[0], 0), dtype)
-        L = jnp.asarray(self.model.chol_internal, dtype)
+        L = jnp.asarray(self._chol_int, dtype)
         mu = jnp.asarray(self.model.mu_internal, dtype)
         return (d - mu) @ L
 
@@ -551,6 +685,15 @@ class FastSweeps:
                                      hnew - hch[:, :, j], var),
                     0.0,
                 ))
+            kn = spec.t_rows.shape[-1] - 2 * (1 + kc)
+            if kn:
+                lp_cal = _cal_terms_local(
+                    hnew[..., None], batch.height[:, None, None],
+                    sx["cal_lo"][None], sx["cal_lo_s"][None],
+                    sx["cal_hi"][None], sx["cal_hi_s"][None], dtype,
+                )
+                for j in range(kn):
+                    new_terms.append(lp_cal[..., j])
             tn = jnp.stack(new_terms, axis=-1)     # [C, B, KT]
             t_ok = t_rows >= 0
             t_safe = jnp.clip(t_rows, min=0)
@@ -665,6 +808,15 @@ class FastSweeps:
                                          hnew - hch[:, :, j], var),
                         0.0,
                     ))
+                kn = kt - 2 * (1 + kc)
+                if kn:
+                    lp_cal = _cal_terms_local(
+                        hnew[..., None], batch.height[:, None, None],
+                        sx["cal_lo"][None], sx["cal_lo_s"][None],
+                        sx["cal_hi"][None], sx["cal_hi_s"][None], dtype,
+                    )
+                    for j in range(kn):
+                        new_terms.append(lp_cal[..., j])
                 tn = jnp.stack(new_terms, axis=-1)
                 # New distance rows: first slot = branch of node i, then
                 # children branches (d_rows built sorted: recompute from
@@ -807,6 +959,8 @@ class FastSweeps:
             for f in dataclasses.fields(spec) if f.name != "kind"
         }
 
+        knr = spec.cal_t_rows.shape[-1]
+
         def step(carry, xs):
             hT, rT, teT, dT, zT, q, scal, tunT, acc, key = carry
             sx, key_m = xs
@@ -815,7 +969,7 @@ class FastSweeps:
                                       sx["sd"])
             n_inner, n_nodes = sx["n_inner"], sx["n_nodes"]
             C = hT.shape[1]
-            birth, death, rvar, _hrm = scal
+            birth, death, rvar, _hrm, height_abs = scal
             hi = hT[node]                              # [S, C]
             hp = hT[par]
             tune = tunT[rows]
@@ -857,6 +1011,25 @@ class FastSweeps:
                           | jnp.isnan(ck_new) | jnp.isneginf(ck_new)),
                 axis=1,
             )
+            if knr:
+                cal_ok = (sx["cal_t_rows"] >= 0)[..., None]   # [S, KN, 1]
+                cal_safe = jnp.clip(sx["cal_t_rows"], min=0)
+                h_src = hT[jnp.clip(sx["cal_hsrc"], min=0)]   # [S, KN, C]
+                cal_new = _cal_terms_local(
+                    xi[:, None, :] * h_src, height_abs[None, None, :],
+                    sx["cal_lo"][..., None], sx["cal_lo_s"][..., None],
+                    sx["cal_hi"][..., None], sx["cal_hi_s"][..., None],
+                    dtype,
+                )
+                cal_old = teT[cal_safe]
+                diffc = jnp.where(cal_ok, cal_new - cal_old, 0.0)
+                d_pr = d_pr + jnp.sum(
+                    jnp.where(jnp.isnan(diffc), 0.0, diffc), axis=1
+                )
+                invalid = invalid | jnp.any(
+                    cal_ok & (jnp.isnan(cal_new) | jnp.isneginf(cal_new)),
+                    axis=1,
+                )
             log_jac = ((n_inner - n_nodes)[:, None] * jnp.log(xi)
                        + jnp.log(xi_stem))
             bp = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
@@ -872,6 +1045,9 @@ class FastSweeps:
             rT = rT.at[own_s].set(jnp.where(am, r_new, r_own))
             teT = teT.at[t_bd].set(jnp.where(am, bd_new, bd_old))
             teT = teT.at[t_ck].set(jnp.where(am, ck_new, ck_old))
+            if knr:
+                amc = accept[:, None, :] & cal_ok
+                teT = teT.at[cal_safe].set(jnp.where(amc, cal_new, cal_old))
             acc = acc.at[:, rows].add(accept.T.astype(acc.dtype))
             return (hT, rT, teT, dT, zT, q, scal, tunT, acc, key), None
 
@@ -904,6 +1080,8 @@ class FastSweeps:
         S_n = spec.rows.shape[1]
         rb = spec.own.shape[-1]
 
+        knr = 0 if is_rate else spec.cal_t_rows.shape[-1]
+
         def step(carry, xs):
             hT, rT, teT, dT, zT, q, scal, tunT, acc, key = carry
             sx, key_m = xs
@@ -912,7 +1090,7 @@ class FastSweeps:
                                       sx["sd"])
             n_inner, n_nodes = sx["n_inner"], sx["n_nodes"]
             C = hT.shape[1]
-            birth, death, rvar, height_rm = scal
+            birth, death, rvar, height_rm, height_abs = scal
             tune = tunT[rows]
             k1, k2 = jax.random.split(key_m)
             own_okb = own >= 0                          # [S, RB]
@@ -987,6 +1165,27 @@ class FastSweeps:
                 invalid = invalid | jnp.any(
                     own_ok & (jnp.isnan(tn_k) | jnp.isneginf(tn_k)), axis=1
                 )
+            if knr:
+                # Calibrated nodes inside the range: their heights scale
+                # by the ticket's xi; the term is elementwise.
+                cal_ok = (sx["cal_t_rows"] >= 0)[..., None]   # [S, KN, 1]
+                cal_safe = jnp.clip(sx["cal_t_rows"], min=0)
+                h_src = hT[jnp.clip(sx["cal_hsrc"], min=0)]   # [S, KN, C]
+                cal_new = _cal_terms_local(
+                    f[:, None, :] * h_src, height_abs[None, None, :],
+                    sx["cal_lo"][..., None], sx["cal_lo_s"][..., None],
+                    sx["cal_hi"][..., None], sx["cal_hi_s"][..., None],
+                    dtype,
+                )
+                cal_old = teT[cal_safe]
+                diffc = jnp.where(cal_ok, cal_new - cal_old, 0.0)
+                d_pr = d_pr + jnp.sum(
+                    jnp.where(jnp.isnan(diffc), 0.0, diffc), axis=1
+                )
+                invalid = invalid | jnp.any(
+                    cal_ok & (jnp.isnan(cal_new) | jnp.isneginf(cal_new)),
+                    axis=1,
+                )
             lmhg = jnp.where(invalid | ~valid[:, None], -jnp.inf, lq)
             bl_c = jnp.broadcast_to(jnp.asarray(beta, dtype), (C,))
             bp_c = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
@@ -1047,6 +1246,11 @@ class FastSweeps:
                 for t_rows_k, tn_k in zip(t_rows_all, t_news):
                     teT = teT.at[t_rows_k].set(
                         jnp.where(am, tn_k, teT[t_rows_k])
+                    )
+                if knr:
+                    amc = accept[:, None, :] & cal_ok
+                    teT = teT.at[cal_safe].set(
+                        jnp.where(amc, cal_new, cal_old)
                     )
             delta = coef[:, None, :] * g
             dacc = jnp.where(am, delta, 0.0)
@@ -1182,7 +1386,7 @@ class FastSweeps:
                     teT, dT, zT = terms.T, d.T, z.T
                     tunT = tuning.T
                     scal = (batch.birth, batch.death, batch.rate_var,
-                            batch.height * batch.rate_mean)
+                            batch.height * batch.rate_mean, batch.height)
                     for ri, (step, nspec) in enumerate(range_steps):
                         km = keys_m[len(mega_steps) + ri]
                         nm = nspec["rows"].shape[0]

@@ -19,7 +19,7 @@ from ..models.dating import DatingModel
 from ..models.state import State
 from . import checkpoint as ckpt
 from . import proposals as props
-from .chains import ChainRunner, RunSettings
+from .chains import ChainRunner, RunSettings, _slim_outs
 from .mh import tune_step
 from .monitor import MonitorWriter
 
@@ -69,14 +69,20 @@ def make_swap_fn(model: DatingModel, n_groups: int, n_temps: int, dtype):
             perm = perm.at[gi, p + 1].set(jnp.where(accept, pi, pj))
             U = U.at[gi, p].set(jnp.where(accept, Uj, Ui))
             U = U.at[gi, p + 1].set(jnp.where(accept, Ui, Uj))
-            return (perm, U), accept
+            # Per-temperature-pair bookkeeping (which adjacent pair was
+            # proposed, whether it swapped) for the swap-acceptance log.
+            oh = (p[:, None] == jnp.arange(n_temps - 1)[None, :])
+            acc_pair = (oh & accept[:, None]).astype(dtype).sum(axis=0)
+            tot_pair = oh.astype(dtype).sum(axis=0)
+            return (perm, U), (accept, acc_pair, tot_pair)
 
-        (perm, U), accepts = jax.lax.scan(
+        (perm, U), (accepts, acc_pairs, tot_pairs) = jax.lax.scan(
             body, (perm, U), jax.random.split(key, N_SWAPS)
         )
         flat = (jnp.arange(n_groups)[:, None] * n_temps + perm).reshape(-1)
         batch = jax.tree.map(lambda x: x[flat], batch)
-        return batch, jnp.mean(accepts.astype(dtype))
+        return (batch, jnp.mean(accepts.astype(dtype)),
+                acc_pairs.sum(axis=0), tot_pairs.sum(axis=0))
 
     return jax.jit(swap)
 
@@ -134,6 +140,7 @@ def run_mc3(
 
     kern = runner.kern
     nuts = None
+    chunk_nuts = None
     if hamiltonian:
         # NUTS rides in the cycle of every heated chain; the target of
         # chain k is beta_k * (prior + likelihood) + root Jacobian.
@@ -146,20 +153,27 @@ def run_mc3(
                 in_dir=settings.out_dir,
             ))
         move = nuts.move
-        chunk = jax.jit(
-            lambda b, tu, k, eps, im: kern.sweeps(
+
+        def _chunk_nuts(b, tu, k, eps, im):
+            out = kern.sweeps(
                 b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
                 collect=runner._collect,
                 nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
             )
+            return out[:5] + (_slim_outs(out[5]),) + out[6:]
+
+        chunk_nuts = jax.jit(_chunk_nuts)
+    # Plain chunk is always built: fast burn-in windows exclude the (slow)
+    # NUTS move, matching the MHG policy (chains.py burn_in).
+
+    def _chunk(b, tu, k):
+        out = kern.sweeps(
+            b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
+            collect=runner._collect,
         )
-    else:
-        chunk = jax.jit(
-            lambda b, tu, k: kern.sweeps(
-                b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
-                collect=runner._collect,
-            )
-        )
+        return out[:5] + (_slim_outs(out[5]),)
+
+    chunk = jax.jit(_chunk)
 
     monitor = MonitorWriter(
         model, settings.analysis_name, settings.out_dir,
@@ -177,7 +191,14 @@ def run_mc3(
             extra_arrays=nuts.state_arrays() if nuts is not None else None,
         )
 
-    def phase(n_iters, tune_every, collect_monitor, start_it):
+    cold_idx = np.arange(n_groups) * N_TEMPS
+    scalar_names = ("birth", "death", "height", "rate_mean", "rate_var",
+                    "lp_post")
+    cold_draws = {k: [] for k in scalar_names}
+    pair_acc = np.zeros(N_TEMPS - 1)
+    pair_tot = np.zeros(N_TEMPS - 1)
+
+    def phase(n_iters, tune_every, collect_monitor, start_it, use_nuts=True):
         nonlocal batch, tuning, key
         it = start_it
         next_save = it + settings.save_period
@@ -185,23 +206,30 @@ def run_mc3(
         tot_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
         swap_rates = []
         astats = []
+        with_nuts = nuts is not None and use_nuts
         while it < start_it + n_iters:
             key, k1, k2 = jax.random.split(key, 3)
-            if nuts is not None:
+            if with_nuts:
                 eps, im = nuts.params()
-                batch, lp_pr, lp_lik, acc, tot, outs, ast = chunk(
+                batch, lp_pr, lp_lik, acc, tot, outs, ast = chunk_nuts(
                     batch, tuning, k1, eps, im
                 )
                 astats.append(float(jnp.mean(ast)))
             else:
                 batch, lp_pr, lp_lik, acc, tot, outs = chunk(batch, tuning, k1)
-            batch, srate = swap_fn(batch, k2)
+            batch, srate, ap, tp = swap_fn(batch, k2)
             swap_rates.append(float(srate))
+            pair_acc[:] += np.asarray(ap)
+            pair_tot[:] += np.asarray(tp)
             acc_sum += acc
             tot_sum += tot
             if collect_monitor:
                 rows = jax.tree.map(lambda x: np.asarray(x[:, 0]), outs)
                 monitor.write_rows(it, rows)
+                # Pooled cold chains (slot 0 of every group) are a perfect
+                # R-hat ensemble: collect their scalars for diagnostics.
+                for nm in scalar_names:
+                    cold_draws[nm].append(np.asarray(outs[nm])[:, cold_idx])
             it += SWAP_PERIOD
             if tune_every and (it - start_it) % tune_every == 0:
                 tuning = tune_step(
@@ -213,8 +241,9 @@ def run_mc3(
                 )
                 acc_sum = jnp.zeros_like(acc_sum)
                 tot_sum = jnp.zeros_like(tot_sum)
-                if nuts is not None and astats:
-                    nuts.adapt(float(np.mean(astats)))
+                if with_nuts and astats:
+                    vecs = np.asarray(jax.vmap(nuts.coords.to_vector)(batch))
+                    nuts.adapt(float(np.mean(astats)), vecs)
                     astats = []
             if collect_monitor and it >= next_save:
                 do_checkpoint(it)
@@ -226,18 +255,34 @@ def run_mc3(
     if continue_from is None:
         log(f"burn-in: {settings.burn_in.total} iterations")
         done = 0
-        for w in settings.burn_in.fast + settings.burn_in.slow:
-            sr = phase(w, tune_every=w, collect_monitor=False, start_it=done)
-            done += w
-            log(f"burn-in window {w}: {done}/{settings.burn_in.total}, "
-                f"swap rate {sr:.2f}")
+        # Fast windows exclude the NUTS move (MHG policy, chains.py:203-210).
+        for kind, windows in (("fast", settings.burn_in.fast),
+                              ("slow", settings.burn_in.slow)):
+            for w in windows:
+                sr = phase(w, tune_every=w, collect_monitor=False,
+                           start_it=done, use_nuts=(kind == "slow"))
+                done += w
+                log(f"burn-in [{kind}] window {w}: "
+                    f"{done}/{settings.burn_in.total}, swap rate {sr:.2f}")
         if nuts is not None:
             nuts.finalize_adaptation()
-            log(f"NUTS adaptation: eps {nuts.eps:.5f}")
+            im = np.asarray(nuts.inv_mass)
+            log(f"NUTS adaptation: eps {nuts.eps:.5f}, "
+                f"inv_mass [{im.min():.3g}, {im.max():.3g}]")
     else:
         log(f"Continuing MC3 from iteration {start_it}.")
     sr = phase(settings.iterations, tune_every=0, collect_monitor=True,
                start_it=start_it)
-    log(f"sampling done; swap acceptance rate {sr:.2f}")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rates = pair_acc / np.maximum(pair_tot, 1.0)
+    pairs = " ".join(
+        f"{i}<->{i + 1}: {rates[i]:.2f}" for i in range(N_TEMPS - 1)
+    )
+    log(f"sampling done; swap acceptance rate {sr:.2f} "
+        f"(per temperature pair: {pairs})")
     do_checkpoint(start_it + settings.iterations)
     monitor.close()
+    # Pooled cross-group cold-chain convergence diagnostics
+    # (bench/comparison_with_mcmctree/README.md:265-269).
+    if any(v for v in cold_draws.values()):
+        runner._write_diagnostics(cold_draws)

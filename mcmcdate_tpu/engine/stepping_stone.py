@@ -76,13 +76,14 @@ def run_marginal_likelihood(
     kern = runner.kern
 
     nuts = None
+    chunk_nuts = None
     if hamiltonian:
         # NUTS per stone: target = prior + beta_k * likelihood.
         from .hmc import NutsInCycle
 
         nuts = NutsInCycle(model, dtype=dtype)
         move = nuts.move
-        chunk_plain = jax.jit(
+        chunk_nuts = jax.jit(
             lambda b, tu, k, eps, im: kern.sweeps(
                 b, tu, k, CHUNK, beta=betas,
                 nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
@@ -96,15 +97,17 @@ def run_marginal_likelihood(
             )
         )
     else:
-        chunk_plain = jax.jit(
-            lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
-        )
         chunk_ll = jax.jit(
             lambda b, tu, k: kern.sweeps(
                 b, tu, k, CHUNK, beta=betas,
                 collect=lambda s, lp_pr, lp_lik: lp_lik,
             )
         )
+    # The plain (no-NUTS) chunk always exists: fast burn-in windows
+    # exclude the NUTS move, matching the MHG policy (chains.py burn_in).
+    chunk_plain = jax.jit(
+        lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
+    )
 
     targets = jnp.asarray(table.target_rates(), dtype)
     burn = (REPETITIVE_BURN_IN_PROF if profile else REPETITIVE_BURN_IN)
@@ -116,15 +119,19 @@ def run_marginal_likelihood(
         f"burn-in {bi.total} + repetitive {burn.total}")
     done = 0
     tmax = jnp.asarray(table.tune_max(), dtype)
-    for w in bi.fast + bi.slow + burn.fast + burn.slow:
+    schedule = ([("fast", w) for w in bi.fast] + [("slow", w) for w in bi.slow]
+                + [("fast", w) for w in burn.fast]
+                + [("slow", w) for w in burn.slow])
+    for kind, w in schedule:
         n_chunks = max(1, w // CHUNK)
         acc_s = tot_s = 0
         astats = []
+        with_nuts = nuts is not None and kind == "slow"
         for _ in range(n_chunks):
             key, k = jax.random.split(key)
-            if nuts is not None:
+            if with_nuts:
                 eps, im = nuts.params()
-                batch, lp_pr, lp_lik, acc, tot, _, ast = chunk_plain(
+                batch, lp_pr, lp_lik, acc, tot, _, ast = chunk_nuts(
                     batch, tuning, k, eps, im
                 )
                 astats.append(float(jnp.mean(ast)))
@@ -136,12 +143,15 @@ def run_marginal_likelihood(
             tuning, acc_s.astype(dtype), tot_s.astype(dtype), targets,
             tune_max=tmax,
         )
-        if nuts is not None and astats:
-            nuts.adapt(float(np.mean(astats)))
+        if with_nuts and astats:
+            vecs = np.asarray(jax.vmap(nuts.coords.to_vector)(batch))
+            nuts.adapt(float(np.mean(astats)), vecs)
         done += w
     if nuts is not None:
         nuts.finalize_adaptation()
-        log(f"NUTS adaptation: eps {nuts.eps:.5f}")
+        im = np.asarray(nuts.inv_mass)
+        log(f"NUTS adaptation: eps {nuts.eps:.5f}, "
+            f"inv_mass [{im.min():.3g}, {im.max():.3g}]")
 
     # Sampling: collect per-point log likelihoods.
     lls = []

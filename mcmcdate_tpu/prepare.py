@@ -215,13 +215,20 @@ def prepare(
         raise ValueError("prepare: Minimum variance is zero or negative.")
 
     log("Prepare the covariance matrix for phylogenetic likelihood calculation.")
-    sign, log_det_sigma = np.linalg.slogdet(sigma)
-    if sign <= 0:
-        raise ValueError("prepare: Determinant of covariance matrix is negative?")
-    sigma_inv = np.linalg.inv(sigma)
-    log(f"The logarithm of the determinant of the covariance matrix is: {log_det_sigma}")
-
     if likelihood_spec == mvn.FULL:
+        # The full-rank inverse is only needed (and only well-defined,
+        # n_samples > n_branches) for the dense MVN kind; the univariate
+        # and no-likelihood kinds never touch the off-diagonal covariance.
+        sign, log_det_sigma = np.linalg.slogdet(sigma)
+        if sign <= 0:
+            raise ValueError(
+                "prepare: Determinant of covariance matrix is negative? "
+                f"(needs more tree samples ({n_used}) than branches "
+                f"({len(mu)}) for the full MVN)"
+            )
+        sigma_inv = np.linalg.inv(sigma)
+        log("The logarithm of the determinant of the covariance matrix is: "
+            f"{log_det_sigma}")
         log("Use full covariance matrix.")
         data = mvn.LikelihoodData.full(mu, sigma_inv, log_det_sigma)
     elif likelihood_spec == mvn.SPARSE:

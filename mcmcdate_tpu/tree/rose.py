@@ -270,6 +270,11 @@ def write_newick(t: Node, with_lengths: bool = True) -> str:
                 go(c)
             parts.append(")")
         parts.append(_format_label(n.name))
+        # Raw bracket comment (e.g. FigTree/BEAST "[&...]" annotations) —
+        # emitted verbatim after the label, never quoted.
+        comment = getattr(n, "comment", "")
+        if comment:
+            parts.append(comment)
         if with_lengths:
             parts.append(":" + _format_length(n.length))
 

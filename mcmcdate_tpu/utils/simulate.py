@@ -107,6 +107,61 @@ def simulate(
     return Simulation(time_tree=t, topo=topo, true_heights=hs, true_rates=rates, trees=trees)
 
 
+def simulate_on_topology(
+    tree: Node,
+    n_trees: int = 600,
+    *,
+    seed: int = 0,
+    height: float = 1.0,
+    rate_mean: float = 1.0,
+    rate_var: float = 0.0,
+    noise: float = 0.05,
+) -> Simulation:
+    """Same generative scheme as :func:`simulate`, but on a GIVEN rooted
+    topology (e.g. the reference's real 1007-taxon GOE tree,
+    tutorial/goe/data/1007_mito_plastid.tree, whose PhyloBayes treelist is
+    not shipped): draw an ultrametric truth over that topology top-down,
+    then sample a noisy branch-length "posterior" tree list around it.
+    """
+    rng = np.random.default_rng(seed)
+    t = tree.copy()
+    topo = FlatTopology.from_tree(t)
+    n = topo.n
+    parent = np.asarray(topo.parent)
+    is_leaf = np.asarray(topo.is_leaf)
+
+    # Heights top-down in preorder (parent always precedes child).
+    hs = np.zeros(n)
+    hs[0] = height
+    for i in range(1, n):
+        hs[i] = 0.0 if is_leaf[i] else hs[parent[i]] * rng.uniform(0.35, 0.9)
+
+    if rate_var > 0:
+        shape = rate_mean**2 / rate_var
+        scale = rate_var / rate_mean
+        rates = rng.gamma(shape, scale, size=n)
+    else:
+        rates = np.full(n, rate_mean)
+
+    d_true = (hs[parent] - hs) * rates
+    d_true[0] = 0.0
+
+    # Set the time tree's branch lengths to the true time spans.
+    for i, nd in enumerate(t.preorder()):
+        nd.length = float(hs[parent[i]] - hs[i]) if i else 0.0
+
+    trees = []
+    sd = noise * np.maximum(d_true, 1e-3)
+    for _ in range(n_trees):
+        d = np.maximum(d_true + rng.normal(0, sd), 1e-6)
+        tt = t.copy()
+        for i, nd in enumerate(tt.preorder()):
+            nd.length = float(d[i]) if i else 0.0
+        trees.append(tt)
+    return Simulation(time_tree=t, topo=topo, true_heights=hs,
+                      true_rates=rates, trees=trees)
+
+
 def write_fixture(sim: Simulation, out_dir: str) -> None:
     """Write ``time.tree`` (rooted tree) and ``trees.nwk`` (tree list)."""
     os.makedirs(out_dir, exist_ok=True)

@@ -145,6 +145,13 @@ def test_mc3_cli(workdir):
     with open(d / "mc3run.run.log") as fh:
         log = fh.read()
     assert "MC3" in log and "swap" in log
+    # Per-temperature-pair swap acceptance is logged.
+    assert "per temperature pair" in log and "0<->1" in log
+    # Pooled cross-group cold-chain diagnostics are written.
+    diag = (d / "mc3run.diagnostics.tsv").read_text().splitlines()
+    assert diag[0].startswith("Parameter\t")
+    names = {ln.split("\t")[0] for ln in diag[1:]}
+    assert {"birth", "height", "lp_post"} <= names
 
 
 def test_marginal_likelihood_cli(workdir):
@@ -218,6 +225,11 @@ def test_mc3_hamiltonian_cli(workdir):
     assert "MC3" in log and "NUTS adaptation: eps" in log
     n = sum(1 for _ in open(d / "mc3ham.params.monitor"))
     assert n > 20
+    # The mass matrix actually adapts in the MC3 path (round-2 weakness:
+    # adapt() was called without warmup vectors, leaving inv_mass = 1).
+    ck = np.load(d / "mc3ham.mcmc.npz")
+    im = np.asarray(ck["nuts_inv_mass"])
+    assert not np.allclose(im, 1.0)
     # Continue must resume as MC3 *with* the NUTS move (meta sidecar).
     _cli(
         ["continue", "-a", "mc3ham", "--preparation-name", "an",
@@ -248,6 +260,10 @@ def test_marginal_likelihood_hamiltonian_cli(workdir):
         log = fh.read()
     assert "log marginal likelihood" in log
     assert "NUTS adaptation: eps" in log
+    # Mass matrix adapts in the stepping-stone path too.
+    spread = log.rsplit("inv_mass [", 1)[1].split("]")[0]
+    lo, hi = (float(x) for x in spread.split(","))
+    assert hi > lo
     val = float(log.rsplit("stepping stone):", 1)[1].split()[0])
     assert abs(val) < 1e-5
 

@@ -57,6 +57,11 @@ def build(n_leaves=10, lik="full", seed=0):
         mu = rng.uniform(0.05, 0.5, size=k)
         data = mvn.LikelihoodData.full(mu, np.linalg.inv(sigma),
                                        np.linalg.slogdet(sigma)[1])
+    elif lik == "uni":
+        mu = rng.uniform(0.05, 0.5, size=k)
+        data = mvn.LikelihoodData.univariate(
+            mu, rng.uniform(0.01, 0.1, size=k) ** 2
+        )
     else:
         data = mvn.LikelihoodData.none()
     model = DatingModel(topo=topo, likelihood=data)
@@ -107,6 +112,30 @@ print("OK full", err.max(), drift)
     assert "OK full" in out
 
 
+def test_fast_matches_sequential_univariate():
+    """The diagonal likelihood rides the dense batched machinery
+    (P = diag(1/var)); posterior moments and carried lp must match the
+    sequential O(N) reference path (VERDICT round-2 item 4)."""
+    out = _run_child(COMMON + """
+model, table, batch, tuning, topo = build(10, "uni")
+fast = FastSweeps(model, table)
+assert fast.plan.specs, "nothing batched"
+hf, (bf, lpf, llf) = moments(fast, batch, tuning, topo)
+hs, _ = moments(MHKernel(model, table), batch, tuning, topo)
+inner = np.asarray(topo.inner_nodes)
+mf, ms = hf[:, inner].mean(0), hs[:, inner].mean(0)
+se = hf[:, inner].std(0) / np.sqrt(len(hf) / 16.0)
+err = np.abs(mf - ms)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+lp_direct = np.asarray(jax.vmap(model.log_posterior)(bf))
+lp_carried = np.asarray(lpf + llf)
+drift = np.abs(lp_direct - lp_carried).max()
+assert drift < 0.05, drift
+print("OK uni", err.max(), drift)
+""")
+    assert "OK uni" in out
+
+
 def test_fast_matches_sequential_prior_only():
     out = _run_child(COMMON + """
 model, table, batch, tuning, topo = build(10, "none")
@@ -126,8 +155,10 @@ print("OK prior", err.max())
 
 
 def test_fast_with_calibrations_excludes_correctly():
-    """Calibrated model: tickets touching calibrated/constrained nodes must
-    route to the sequential phase, and the run must still match."""
+    """Calibrated model policy (round 3): CONSTRAINT-involved nodes route
+    to the sequential phase; CALIBRATED-only nodes batch (their soft term
+    is elementwise in the node's own height and the mega-steps recompute
+    it), and the run must still match the sequential reference."""
     out = _run_child(COMMON + """
 import json
 from mcmcdate_tpu.io.specs import load_calibrations_csv, load_constraints_csv
@@ -137,25 +168,42 @@ tree = random_ultrametric_tree(rng, 8)
 topo = FlatTopology.from_tree(tree)
 names = [n for n in topo.names if n]
 leaves = [topo.names[i] for i in np.asarray(topo.leaf_nodes)]
-cal = load_calibrations_csv(
-    "Name,LeafA,LeafB,Lower,LowerPM,Upper,UpperPM\\n"
-    f"Root,{leaves[0]},{leaves[-1]},0.8,0.05,1.2,0.05\\n",
-    tree, topo, is_text=True, log=_q)
+# Root calibration + a NON-root-adjacent calibration (exercises the
+# batched calibration slots; root-adjacent nodes are root_jac-excluded
+# regardless) + a constraint (stays sequential).
 con = load_constraints_csv(
     "Name,YoungA,YoungB,OldA,OldB,PM\\n"
-    f"C1,{leaves[0]},{leaves[1]},{leaves[-2]},{leaves[-1]},0.05\\n",
+    f"C1,{leaves[2]},{leaves[3]},{leaves[-2]},{leaves[-1]},0.05\\n",
+    tree, topo, is_text=True, log=_q)
+hard = set(int(x) for x in np.asarray(con.young).ravel())
+hard |= set(int(x) for x in np.asarray(con.old).ravel())
+parent = np.asarray(topo.parent)
+end = np.asarray(topo.subtree_end)
+deep = next(int(i) for i in np.asarray(topo.inner_nodes)
+            if i != 0 and parent[i] != 0 and parent[parent[i]] != 0
+            and i not in hard)
+sub_leaves = [topo.names[j] for j in range(deep, end[deep])
+              if topo.is_leaf[j]]
+cal = load_calibrations_csv(
+    "Name,LeafA,LeafB,Lower,LowerPM,Upper,UpperPM\\n"
+    f"Root,{leaves[0]},{leaves[-1]},0.8,0.05,1.2,0.05\\n"
+    f"Inner,{sub_leaves[0]},{sub_leaves[-1]},0.05,0.05,0.9,0.05\\n",
     tree, topo, is_text=True, log=_q)
 model = DatingModel(topo=topo, likelihood=mvn.LikelihoodData.none(),
                     calibrations=cal, constraints=con, mean_root_height=1.0)
 table = P.build_proposal_table(topo, model.braces, True)
 fast = FastSweeps(model, table)
-# constrained/calibrated nodes never appear in batched point specs
-np_nodes = set(int(x) for x in np.asarray(cal.node).ravel())
-np_nodes |= set(int(x) for x in np.asarray(con.young).ravel())
-np_nodes |= set(int(x) for x in np.asarray(con.old).ravel())
+hard = set(int(x) for x in np.asarray(con.young).ravel())
+hard |= set(int(x) for x in np.asarray(con.old).ravel())
+cal_nodes = set(int(x) for x in np.asarray(cal.node).ravel())
+batched_nodes = set()
 for k, s in fast.plan.specs.items():
     if k in (P.K_SLIDE_NODE_ULTRA, P.K_SLIDE_NODES_CONTRA):
-        assert not (set(s.node[s.valid].tolist()) & np_nodes)
+        batched_nodes |= set(s.node[s.valid].tolist())
+        # constrained nodes never batch
+        assert not (set(s.node[s.valid].tolist()) & hard)
+# the non-root calibrated node DOES batch now
+assert (cal_nodes - {0}) & batched_nodes, (cal_nodes, batched_nodes)
 C = 64
 state = init_state(tree, topo, dtype=jnp.float32)
 batch = jax.tree.map(lambda x: jnp.broadcast_to(x, (C,) + x.shape), state)

@@ -400,32 +400,6 @@ def test_clock_golden_values():
     # JAX's gammaln(2) is ~3e-9 rather than exactly 0.
     assert lp == pytest.approx(want, abs=1e-7)
 
-
-def test_pallas_whitened_residual():
-    """The Pallas MXU kernel must match the XLA path (it is the template for
-    the planned fused sweep kernels; XLA remains the default for DC_FULL)."""
-    import jax
-
-    if jax.devices()[0].platform == "cpu":
-        pytest.skip("Pallas TPU kernel requires a TPU device")
-    from mcmcdate_tpu.ops.pallas_kernels import whitened_residual_pallas
-
-    # Mosaic lowering rejects the x64-mode (int64) grid indices; the kernel
-    # (like the whole sampler) is an f32 path.
-    with jax.enable_x64(False):
-        rng = np.random.default_rng(0)
-        C, K = 64, 300
-        d = jnp.asarray(rng.normal(size=(C, K)), jnp.float32)
-        mu = jnp.asarray(rng.normal(size=K), jnp.float32)
-        L = jnp.asarray(
-            np.tril(rng.normal(size=(K, K)) / np.sqrt(K)) + np.eye(K),
-            jnp.float32,
-        )
-        y1 = np.asarray(jax.jit(lambda d: whitened_residual_pallas(d, mu, L))(d))
-        y2 = np.asarray((d - mu) @ L)
-        assert np.max(np.abs(y1 - y2)) / np.abs(y2).max() < 1e-4
-
-
 def test_root_branch_jacobian():
     model, state = _model()
     rb = float(H.root_branch(state, model.topo))
