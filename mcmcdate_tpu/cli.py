@@ -154,6 +154,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="stepping-stone marginal likelihood")
     _add_run_args(p)
 
+    p = sub.add_parser("analyze", help="post-process monitor files "
+                       "(scripts/analyze equivalent)")
+    p.add_argument("-a", "--analysis-name", required=True, metavar="NAME")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--burn-in", type=float, default=0.25,
+                   help="fraction of monitor rows to drop (default 0.25)")
+    p.add_argument("--thin", type=int, default=10,
+                   help="thinning factor for the params trace (default 10)")
+
     p = sub.add_parser("simulate", help="generate a synthetic fixture (extra)")
     p.add_argument("--leaves", type=int, default=6)
     p.add_argument("--trees", type=int, default=600)
@@ -419,6 +428,41 @@ def cmd_simulate(args):
           f"({args.trees} trees, {args.leaves} leaves).")
 
 
+def cmd_analyze(args):
+    """Post-process one analysis' monitor files: thin the params trace,
+    emit ultrametric summary trees + age tables for the time tree,
+    per-branch summaries for the rate tree, and Nexus conversions
+    (the scripts/analyze workflow, scripts/analyze:32-46)."""
+    import os as _os
+
+    from . import analyze as A
+
+    an = args.analysis_name
+    d = args.out_dir
+
+    def p(name):
+        return _os.path.join(d, f"{an}.{name}")
+
+    if _os.path.exists(p("params.monitor")):
+        n = A.thin(p("params.monitor"), p("params.thinned"), args.thin)
+        print(f"params trace: kept {n} rows (thin {args.thin})")
+    if _os.path.exists(p("timetree.monitor")):
+        out = A.summarize_trees_ultrametric(
+            p("timetree.monitor"), burn_in_fraction=args.burn_in
+        )
+        print(f"time tree: ultrametric summaries over {out['n']} samples "
+              f"-> {an}.timetree.tree.* and {an}.timetree.ages.*")
+        A.to_nexus(p("timetree.monitor"), p("timetree.nexus"))
+        A.densitree_prep(p("timetree.monitor"), p("timetree.densitree.nex"))
+        print(f"time tree: Nexus + DensiTree prep written")
+    if _os.path.exists(p("ratetree.monitor")):
+        summ = A.summarize_trees(p("ratetree.monitor"),
+                                 burn_in_fraction=args.burn_in)
+        with open(p("ratetree.tree.mean"), "w") as fh:
+            fh.write(summ["mean"] + "\n")
+        print(f"rate tree: per-branch mean tree over {summ['n']} samples")
+
+
 def main(argv=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_comp"))
@@ -442,6 +486,8 @@ def main(argv=None):
         cmd_continue(args)
     elif args.mode == "marginal-likelihood":
         cmd_marginal_likelihood(args)
+    elif args.mode == "analyze":
+        cmd_analyze(args)
     elif args.mode == "simulate":
         cmd_simulate(args)
 

@@ -26,7 +26,8 @@ from .monitor import MonitorWriter
 N_TEMPS = 4
 SWAP_PERIOD = 2
 N_SWAPS = 3
-DELTA_T = 0.1  # beta_k = 1 / (1 + DELTA_T * k)
+DELTA_T = 0.1  # beta_k = 1 / (1 + DELTA_T * k); auto-tuned during burn-in
+SWAP_TARGET = 0.3  # target per-attempt swap acceptance for dt tuning
 
 
 def temperature_ladder(n_temps: int = N_TEMPS, dt: float = DELTA_T) -> np.ndarray:
@@ -42,9 +43,7 @@ def make_swap_fn(model: DatingModel, n_groups: int, n_temps: int, dtype):
     ``min(1, exp((beta_i - beta_j) (U_j - U_i)))`` with U the untempered log
     posterior.
     """
-    betas = jnp.asarray(temperature_ladder(n_temps), dtype)
-
-    def swap(batch, key):
+    def swap(batch, key, betas):
         U = jax.vmap(lambda s: model.log_posterior(s))(batch)  # untempered
         U = U.reshape(n_groups, n_temps)
         perm = jnp.broadcast_to(
@@ -112,9 +111,19 @@ def run_mc3(
     inner = RunSettings(**{**settings.__dict__, "n_chains": total})
     runner = ChainRunner(model, table, inner, log=log)
     dtype = runner.dtype
-    betas_flat = jnp.asarray(
-        np.tile(temperature_ladder(), n_groups), dtype
-    )
+    dt_ladder = DELTA_T
+    if continue_from is not None:
+        saved = ckpt.load_arrays(settings.analysis_name, ("mc3_dt",),
+                                 in_dir=settings.out_dir)
+        if "mc3_dt" in saved:
+            dt_ladder = float(saved["mc3_dt"])
+
+    def betas_of(dt):
+        return jnp.asarray(
+            np.tile(temperature_ladder(N_TEMPS, dt), n_groups), dtype
+        )
+
+    betas_flat = betas_of(dt_ladder)
     runner.beta_lik = betas_flat
     runner.beta_prior = betas_flat
 
@@ -154,9 +163,9 @@ def run_mc3(
             ))
         move = nuts.move
 
-        def _chunk_nuts(b, tu, k, eps, im):
+        def _chunk_nuts(b, tu, k, bf, eps, im):
             out = kern.sweeps(
-                b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
+                b, tu, k, SWAP_PERIOD, beta=bf, beta_prior=bf,
                 collect=runner._collect,
                 nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
             )
@@ -166,9 +175,9 @@ def run_mc3(
     # Plain chunk is always built: fast burn-in windows exclude the (slow)
     # NUTS move, matching the MHG policy (chains.py burn_in).
 
-    def _chunk(b, tu, k):
+    def _chunk(b, tu, k, bf):
         out = kern.sweeps(
-            b, tu, k, SWAP_PERIOD, beta=betas_flat, beta_prior=betas_flat,
+            b, tu, k, SWAP_PERIOD, beta=bf, beta_prior=bf,
             collect=runner._collect,
         )
         return out[:5] + (_slim_outs(out[5]),)
@@ -185,10 +194,12 @@ def run_mc3(
         mc3_meta["hamiltonian"] = True
 
     def do_checkpoint(it):
+        arrays = dict(nuts.state_arrays()) if nuts is not None else {}
+        arrays["mc3_dt"] = np.asarray(dt_ladder)
         ckpt.save(
             settings.analysis_name, batch, tuning, key, it,
             table.n_proposals, out_dir=settings.out_dir, extra=mc3_meta,
-            extra_arrays=nuts.state_arrays() if nuts is not None else None,
+            extra_arrays=arrays,
         )
 
     cold_idx = np.arange(n_groups) * N_TEMPS
@@ -199,7 +210,7 @@ def run_mc3(
     pair_tot = np.zeros(N_TEMPS - 1)
 
     def phase(n_iters, tune_every, collect_monitor, start_it, use_nuts=True):
-        nonlocal batch, tuning, key
+        nonlocal batch, tuning, key, betas_flat
         it = start_it
         next_save = it + settings.save_period
         acc_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
@@ -212,12 +223,14 @@ def run_mc3(
             if with_nuts:
                 eps, im = nuts.params()
                 batch, lp_pr, lp_lik, acc, tot, outs, ast = chunk_nuts(
-                    batch, tuning, k1, eps, im
+                    batch, tuning, k1, betas_flat, eps, im
                 )
                 astats.append(float(jnp.mean(ast)))
             else:
-                batch, lp_pr, lp_lik, acc, tot, outs = chunk(batch, tuning, k1)
-            batch, srate, ap, tp = swap_fn(batch, k2)
+                batch, lp_pr, lp_lik, acc, tot, outs = chunk(
+                    batch, tuning, k1, betas_flat
+                )
+            batch, srate, ap, tp = swap_fn(batch, k2, betas_flat[:N_TEMPS])
             swap_rates.append(float(srate))
             pair_acc[:] += np.asarray(ap)
             pair_tot[:] += np.asarray(tp)
@@ -262,8 +275,19 @@ def run_mc3(
                 sr = phase(w, tune_every=w, collect_monitor=False,
                            start_it=done, use_nuts=(kind == "slow"))
                 done += w
+                # Temperature-ladder auto-tuning: widen dt when swaps are
+                # too easy, shrink when they stall (target acceptance
+                # ~0.3; betas are traced arguments, so retuning never
+                # recompiles).  The reference's ladder is static
+                # (MC3Settings, app/Main.hs:476-479).
+                dt_ladder = float(np.clip(
+                    dt_ladder * np.exp(0.5 * (sr - SWAP_TARGET)),
+                    0.01, 2.0,
+                ))
+                betas_flat = betas_of(dt_ladder)
                 log(f"burn-in [{kind}] window {w}: "
-                    f"{done}/{settings.burn_in.total}, swap rate {sr:.2f}")
+                    f"{done}/{settings.burn_in.total}, swap rate {sr:.2f}, "
+                    f"dt {dt_ladder:.3f}")
         if nuts is not None:
             nuts.finalize_adaptation()
             im = np.asarray(nuts.inv_mass)

@@ -147,6 +147,8 @@ def test_mc3_cli(workdir):
     assert "MC3" in log and "swap" in log
     # Per-temperature-pair swap acceptance is logged.
     assert "per temperature pair" in log and "0<->1" in log
+    # Temperature-ladder auto-tuning runs during burn-in.
+    assert ", dt " in log
     # Pooled cross-group cold-chain diagnostics are written.
     diag = (d / "mc3run.diagnostics.tsv").read_text().splitlines()
     assert diag[0].startswith("Parameter\t")

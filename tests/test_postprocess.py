@@ -123,6 +123,30 @@ def test_summarize_trees_ultrametric(tmp_path):
     assert "'" not in comb.split("Tree1 = ")[1]
 
 
+def test_analyze_cli_subcommand(tmp_path):
+    """`mcmcdate-tpu analyze -a NAME` post-processes the monitor files
+    (scripts/analyze equivalent): thinned params, ultrametric summary
+    trees + age tables, Nexus/DensiTree prep, rate-tree mean."""
+    from mcmcdate_tpu import cli
+
+    rng = np.random.default_rng(11)
+    with open(tmp_path / "x.params.monitor", "w") as fh:
+        fh.write("Iteration\tbirth\n")
+        for i in range(100):
+            fh.write(f"{i}\t{rng.uniform():.4f}\n")
+    for mon in ("x.timetree.monitor", "x.ratetree.monitor"):
+        with open(tmp_path / mon, "w") as fh:
+            fh.write("Iteration\tTree\n")
+            for i in range(60):
+                h = 1.0 + 0.1 * rng.standard_normal()
+                fh.write(f"{i}\t((a:{h},b:{h}):{h},(c:{2*h},d:{2*h}):0.0);\n")
+    cli.main(["analyze", "-a", "x", "--out-dir", str(tmp_path), "--thin", "5"])
+    for out in ("x.params.thinned", "x.timetree.tree.mean",
+                "x.timetree.ages.summary", "x.timetree.nexus",
+                "x.timetree.densitree.nex", "x.ratetree.tree.mean"):
+        assert (tmp_path / out).exists(), out
+
+
 def test_checkpoint_dtype_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
