@@ -245,7 +245,11 @@ class ChainRunner:
                     self.nuts.adapt(float(np.mean(self._nuts_astats)), vecs)
                     self._nuts_astats = []
                 done += w
-                rate = float(acc.sum()) / max(float(tot.sum()), 1.0)
+                # Sum in f32: int32 overflows past ~2e9 total tickets
+                # (256 chains x 30k tickets x 300-iteration windows).
+                rate = float(jnp.sum(acc.astype(self.dtype))) / max(
+                    float(jnp.sum(tot.astype(self.dtype))), 1.0
+                )
                 self.log(
                     f"burn-in [{kind}] window {w}: {done}/{bi.total} iterations, "
                     f"acceptance {rate:.3f}, {time.time() - t0:.1f}s elapsed"

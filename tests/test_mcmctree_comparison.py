@@ -99,10 +99,12 @@ def test_mtcdnapri_ages_match_both_implementations(tmp_path):
         ours = mrca_age(*r["leaves"])
         for prog in ("md", "mt"):
             mean, lo, hi = r[prog]
-            # Widen the recorded 95% interval by half its width on each
-            # side: our likelihood surface comes from the committed 10-tree
-            # subsample, not the original 20k-tree posterior.
-            w = (hi - lo) / 2.0
+            # Widen the recorded 95% interval by a quarter of its width on
+            # each side: our likelihood surface comes from the committed
+            # 10-tree subsample, not the original 20k-tree posterior
+            # (round-2 allowed half; the measured offsets are well inside
+            # a quarter, so the bar is tightened).
+            w = (hi - lo) / 4.0
             assert lo - w <= ours <= hi + w, (
                 f"{name}: our age {ours:.2f} outside {prog.upper()}-ILN "
                 f"[{lo}, {hi}] (+/- {w:.2f}) — MD mean {r['md'][0]}, "
