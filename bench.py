@@ -143,4 +143,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote-compile tunnel occasionally drops a response mid-read
+    # (transient INTERNAL errors); retry a few times before giving up so a
+    # single flake does not lose the round's benchmark capture.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# bench attempt {attempt + 1} failed ({e!r}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
