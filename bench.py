@@ -70,24 +70,30 @@ def build(n_taxa=N_TAXA, n_chains=N_CHAINS, dtype=jnp.float32, seed=0):
 
 
 def bench_sweep(model, batch):
-    """Full-sweep throughput of the production ticket-batched engine."""
+    """Full-sweep throughput of the production ticket-batched engine.
+
+    Measured at the PRODUCTION call shape: ``chains.CHUNK`` sweeps per
+    jitted call (engine/chains.py), which amortizes the fixed per-dispatch
+    host/tunnel latency (~0.4 s on this backend) exactly as real runs do.
+    """
     from mcmcdate_tpu.engine import proposals as P
+    from mcmcdate_tpu.engine.chains import CHUNK
     from mcmcdate_tpu.engine.fast_sweep import FastSweeps
 
     table = P.build_proposal_table(model.topo, model.braces, False)
     fast = FastSweeps(model, table)
     tuning = jnp.ones((N_CHAINS, table.n_proposals), jnp.float32)
     key = jax.random.PRNGKey(0)
-    run = jax.jit(lambda b, tu, k2: fast.sweeps(b, tu, k2, 1))
+    run = jax.jit(lambda b, tu, k2: fast.sweeps(b, tu, k2, CHUNK))
     out = run(batch, tuning, key)
     _ = float(np.asarray(out[1])[0])  # hard sync (block can no-op on axon)
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     o = out
     for i in range(reps):
         o = run(o[0], tuning, jax.random.fold_in(key, i))
     _ = float(np.asarray(o[1])[0])
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / (reps * CHUNK)
     return table.n_tickets, dt
 
 

@@ -224,9 +224,51 @@ class RangeSpec:
 
 
 @dataclass(frozen=True)
+class GlobGroup:
+    """Weight-expanded tickets of one global-move family (round-3
+    extension): hyper-parameter scales (Definitions.hs:259-262), the
+    contrary global moves (Definitions.hs:204-221, 241-253) and the
+    subtree scales the range phase cannot take (root-adjacent,
+    > ``RB_MAX`` rows, or constraint/brace-coupled ranges).
+
+    Each family runs as ONE specialized ``lax.scan`` that recomputes only
+    the prior-term blocks the move can touch and updates the carried
+    ``d/z/q`` either in closed form (uniform distance scalings), not at
+    all (distance-invariant contrary moves), or through one dense
+    ``delta @ P`` matmul (rate-spreads, root slides, big subtrees) —
+    replacing the ~0.7 ms/ticket general sequential step with a
+    ~0.1-0.35 ms specialized one.
+    """
+
+    tag: str
+    rows: np.ndarray      # int32[n] original table row per ticket
+    sd: np.ndarray        # float64[n] kernel width parameter
+    aux: np.ndarray       # int32[n] SC_* code or subtree node index
+    lo: np.ndarray        # int32[n] subtree node range start (pre-order)
+    hi: np.ndarray        # int32[n] subtree node range end
+    n_inner: np.ndarray   # int32[n] inner nodes in subtree
+    n_nodes: np.ndarray   # int32[n] nodes (branches) in subtree
+    rj: np.ndarray        # bool[n]  apply the root-branch Jacobian ratio
+
+    @property
+    def n_tickets(self) -> int:
+        return self.rows.shape[0]
+
+
+# Group execution order (static composition; any fixed order is a valid
+# kernel composition — see the sweeps() docstring).
+GLOB_ORDER = (
+    "bd_scale", "rate_mean", "rate_var", "height", "hm_contra",
+    "norm_contra", "normh_contra", "var_tree", "var_auto", "rates_time",
+    "slide_root", "sub_contra", "sub_ultra", "sub_rate",
+)
+
+
+@dataclass(frozen=True)
 class FastPlan:
     specs: Dict[int, MegaSpec]
     range_specs: Dict[int, RangeSpec]
+    glob_groups: Dict[str, GlobGroup]
     seq_table: P.ProposalTable  # leftover rows for the sequential fallback
     seq_rows: np.ndarray        # mapping: seq-table row -> original row
 
@@ -527,9 +569,71 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                                 slot += 1
             range_specs[(k, rb)] = RangeSpec(kind=k, **S)
 
+    # --- global-move families (round-3 stage): everything here leaves the
+    # sequential fallback for a specialized scan (see GlobGroup).
+    glob_lists: Dict[str, List[int]] = {t: [] for t in GLOB_ORDER}
+    sub_tag = {P.K_SCALE_SUBTREE_ULTRA: "sub_ultra",
+               P.K_SCALE_SUBTREE_RATE: "sub_rate",
+               P.K_SCALE_SUBTREES_CONTRA: "sub_contra"}
+    kind_tag = {P.K_SCALE_HEIGHT_RATEMEAN_CONTRA: "hm_contra",
+                P.K_SCALE_NORM_RATE_TREE_CONTRA: "norm_contra",
+                P.K_SCALE_NORM_HEIGHT_RATE_TREE_CONTRA: "normh_contra",
+                P.K_SCALE_VAR_RATE_TREE: "var_tree",
+                P.K_SCALE_VAR_RATE_TREE_AUTOCORR: "var_auto",
+                P.K_SCALE_RATES_TIME_TREE_CONTRA: "rates_time",
+                P.K_SLIDE_ROOT_CONTRA: "slide_root"}
+    sc_tag = {P.SC_BIRTH: "bd_scale", P.SC_DEATH: "bd_scale",
+              P.SC_RATE_MEAN: "rate_mean", P.SC_RATE_VAR: "rate_var",
+              P.SC_HEIGHT: "height"}
+    aux_tab = np.asarray(table.aux)
+    for r in range(len(kind)):
+        if not seq_row_mask[r]:
+            continue
+        k = int(kind[r])
+        if k == P.K_SCALE_SCALAR:
+            tag = sc_tag.get(int(aux_tab[r]))
+        elif k in kind_tag:
+            tag = kind_tag[k]
+        elif k in sub_tag:
+            tag = sub_tag[k]
+        else:
+            tag = None
+        if tag is None:
+            continue
+        seq_row_mask[r] = False
+        glob_lists[tag].extend([r] * int(weight[r]))
+    glob_groups: Dict[str, GlobGroup] = {}
+    for tag in GLOB_ORDER:
+        ts = glob_lists[tag]
+        if not ts:
+            continue
+        m = len(ts)
+        G = dict(
+            rows=np.zeros(m, np.int32), sd=np.zeros(m, np.float64),
+            aux=np.zeros(m, np.int32), lo=np.zeros(m, np.int32),
+            hi=np.zeros(m, np.int32), n_inner=np.ones(m, np.int32),
+            n_nodes=np.ones(m, np.int32), rj=np.zeros(m, bool),
+        )
+        for s, t in enumerate(ts):
+            G["rows"][s] = t
+            G["sd"][s] = par_tab[t]
+            G["rj"][s] = bool(root_jac[t])
+            if int(kind[t]) == P.K_SCALE_SCALAR:
+                G["aux"][s] = aux_tab[t]
+            else:
+                i = int(node[t])
+                G["aux"][s] = i
+                if int(kind[t]) in sub_tag:
+                    G["lo"][s] = i
+                    G["hi"][s] = subtree_end[i]
+                    G["n_inner"][s] = n_inner_sub[i]
+                    G["n_nodes"][s] = n_nodes_sub[i]
+        glob_groups[tag] = GlobGroup(tag=tag, **G)
+
     seq_rows = np.nonzero(seq_row_mask)[0].astype(np.int32)
     seq_table = _subset_table(table, seq_rows)
     return FastPlan(specs=specs, range_specs=range_specs,
+                    glob_groups=glob_groups,
                     seq_table=seq_table, seq_rows=seq_rows)
 
 
@@ -603,6 +707,14 @@ class FastSweeps:
             perm = model.topo.ref_to_internal_perm
             self._prec_int = model.likelihood.precision[np.ix_(perm, perm)]
             self._chol_int = model.chol_internal
+        if self.use_lik:
+            # Constants for the closed-form uniform distance scalings
+            # (rate-mean / absolute-height scales, _glob_step): with
+            # d' = u d,  z' = u z + (u-1) P mu  and
+            # dq = (u^2-1) q + 2u(u-1) mu'z + (u-1)^2 mu'P mu.
+            mu64 = np.asarray(model.mu_internal, np.float64)
+            self._Pmu_int = np.asarray(self._prec_int, np.float64) @ mu64
+            self._mPm_int = float(mu64 @ self._Pmu_int)
 
     # -- carried-quantity conversions ----------------------------------
 
@@ -621,6 +733,332 @@ class FastSweeps:
         L = jnp.asarray(self._chol_int, dtype)
         mu = jnp.asarray(self.model.mu_internal, dtype)
         return (d - mu) @ L
+
+    # -- global-move family scans (round 3) -------------------------------
+
+    def _glob_step(self, tag, dtype, beta=1.0, beta_prior=1.0):
+        """One specialized scan step for a :class:`GlobGroup` family.
+
+        Exactness: identical acceptance distribution to the sequential
+        kernel for the same ticket — the same proposal sample, the same
+        Hastings/Jacobian factors (incl. the root-branch Jacobian ratio
+        where the table flags it), prior deltas restricted to the term
+        blocks the move can change (untouched blocks cancel bitwise in the
+        sequential step too), and the exact MVN quad-form delta
+        ``dq = delta'(2z + P delta)`` computed either in closed form
+        (uniform distance scalings), as zero (distance-invariant contrary
+        moves — the same semantic invariance the mega-steps use), or with
+        one dense matmul.
+        """
+        from ..ops import heights as Hops
+
+        model = self.model
+        topo = model.topo
+        N = topo.n
+        n_br = N - 1
+        o_bd = 4
+        o_ck = 4 + (N + 1)
+        o_nd = 4 + 2 * (N + 1)
+        use_lik = self.use_lik
+        nn = model.calibrations.n + model.constraints.n + model.braces.n
+        parent = jnp.asarray(topo.parent)
+        is_leaf = jnp.asarray(topo.is_leaf)
+        iota = jnp.arange(N)
+        non_root = parent >= 0
+        child_list = [int(c) for c in topo.children[0] if c >= 0]
+        n_inner_total = int((~np.asarray(topo.is_leaf)).sum())
+        if use_lik:
+            Pm = jnp.asarray(self._prec_int, dtype)
+            Pmu = jnp.asarray(self._Pmu_int, dtype)
+            mPm = jnp.asarray(self._mPm_int, dtype)
+            mu_int = jnp.asarray(model.mu_internal, dtype)
+
+        sc_of = jax.vmap(model.term_scalars)
+        bd_of = jax.vmap(model.term_bd)
+        ck_of = jax.vmap(model.term_clock)
+        nd_of = jax.vmap(model.term_nodes)
+
+        def block_diffs(terms, blocks):
+            """blocks: list of (offset, new_block). Returns
+            (outs, d_pr, invalid) with outs carrying the old slices."""
+            d_pr = 0.0
+            invalid = False
+            outs = []
+            for o, nb in blocks:
+                w = nb.shape[-1]
+                old = terms[:, o:o + w]
+                diff = nb - old
+                d_pr = d_pr + jnp.sum(
+                    jnp.where(jnp.isnan(diff), 0.0, diff), axis=-1
+                )
+                invalid = invalid | jnp.any(
+                    jnp.isnan(nb) | jnp.isneginf(nb), axis=-1
+                )
+                outs.append((o, nb, old))
+            return outs, d_pr, invalid
+
+        def uniform_scale_lik(u, d, z, q):
+            """Closed-form z/q/d under d' = u*d (all distances scale)."""
+            d_new = u[:, None] * d
+            if not use_lik:
+                return d_new, z, q, jnp.zeros_like(q)
+            s = jnp.sum(mu_int * z, axis=-1)
+            um1 = u - 1.0
+            dq = (u * u - 1.0) * q + 2.0 * u * um1 * s + um1 * um1 * mPm
+            z_new = u[:, None] * z + um1[:, None] * Pmu[None, :]
+            return d_new, z_new, q + dq, dq
+
+        def dense_lik(batch_new, d, z, q):
+            """Exact quad-form delta through one `delta @ P` matmul."""
+            d_new = jax.vmap(
+                lambda s: Hops.distances_internal(s, topo)
+            )(batch_new)
+            if not use_lik:
+                return d_new, z, q, jnp.zeros_like(q)
+            delta = d_new - d
+            w = delta @ Pm
+            dq = jnp.sum(delta * (2.0 * z + w), axis=-1)
+            return d_new, z + w, q + dq, dq
+
+        def range_mask(lo, hi):
+            return (iota >= lo) & (iota < hi)
+
+        def step(carry, xs):
+            batch, terms, d, z, q = carry
+            sx, key, tune = xs
+            k1, k2 = jax.random.split(key)
+            sd = jnp.asarray(sx["sd"], dtype)
+            C = batch.heights.shape[0]
+            h = batch.heights
+            r = batch.rates
+            lik_upd = True   # whether d/z/q were recomputed by this family
+            lj = 0.0
+
+            if tag == "bd_scale":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + logu
+                is_b = sx["aux"] == P.SC_BIRTH
+                bnew = batch.replace(
+                    birth=jnp.where(is_b, batch.birth * u, batch.birth),
+                    death=jnp.where(is_b, batch.death, batch.death * u),
+                )
+                blocks = [(0, sc_of(bnew)), (o_bd, bd_of(bnew))]
+                fields = ("birth", "death")
+                d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                lik_upd = False
+            elif tag == "rate_mean":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + logu
+                bnew = batch.replace(rate_mean=batch.rate_mean * u)
+                blocks = [(0, sc_of(bnew))]
+                fields = ("rate_mean",)
+                d_new, z_new, q_new, dq = uniform_scale_lik(u, d, z, q)
+            elif tag == "rate_var":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + logu
+                bnew = batch.replace(rate_var=batch.rate_var * u)
+                blocks = [(0, sc_of(bnew)), (o_ck, ck_of(bnew))]
+                fields = ("rate_var",)
+                d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                lik_upd = False
+            elif tag == "height":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + logu
+                bnew = batch.replace(height=batch.height * u)
+                blocks = [(o_nd, nd_of(bnew))]
+                fields = ("height",)
+                d_new, z_new, q_new, dq = uniform_scale_lik(u, d, z, q)
+            elif tag == "hm_contra":
+                u, base, _ = gamma_scale_sample(k1, sd, tune)
+                lmhg = base
+                bnew = batch.replace(
+                    height=batch.height * u, rate_mean=batch.rate_mean / u
+                )
+                blocks = [(0, sc_of(bnew)), (o_nd, nd_of(bnew))]
+                fields = ("height", "rate_mean")
+                d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                lik_upd = False
+            elif tag == "norm_contra":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + (n_br - 1) * logu
+                rates = jnp.where(non_root, r * u[:, None], r)
+                bnew = batch.replace(
+                    rate_mean=batch.rate_mean / u, rates=rates
+                )
+                blocks = [(0, sc_of(bnew)), (o_ck, ck_of(bnew))]
+                fields = ("rate_mean", "rates")
+                # distances (incl. the root branch) are exactly invariant:
+                # rate_mean / u cancels rates * u, so dq = 0 and the
+                # root-branch Jacobian ratio vanishes.
+                d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                lik_upd = False
+            elif tag == "normh_contra":
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                lmhg = base + (n_br - 1) * logu
+                rates = jnp.where(non_root, r * u[:, None], r)
+                bnew = batch.replace(height=batch.height / u, rates=rates)
+                blocks = [(o_ck, ck_of(bnew)), (o_nd, nd_of(bnew))]
+                fields = ("height", "rates")
+                d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                lik_upd = False
+            elif tag in ("var_tree", "var_auto"):
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                if tag == "var_tree":
+                    mean = (
+                        jnp.sum(jnp.where(non_root, r, 0.0), axis=-1) / n_br
+                    )
+                    rates_new = (r - mean[:, None]) * u[:, None] + mean[:, None]
+                    exp_ = n_br + 1
+                else:
+                    mu_r = batch.rate_mean[:, None]
+                    rates_new = mu_r + u[:, None] * (r - mu_r)
+                    exp_ = n_br + 2
+                ok = jnp.all(
+                    jnp.where(non_root, rates_new > 0, True), axis=-1
+                )
+                lmhg = jnp.where(ok, base + exp_ * logu, -jnp.inf)
+                rates = jnp.where(non_root, rates_new, r)
+                bnew = batch.replace(
+                    rate_var=batch.rate_var * u * u, rates=rates
+                )
+                blocks = [(0, sc_of(bnew)), (o_ck, ck_of(bnew))]
+                fields = ("rate_var", "rates")
+                d_new, z_new, q_new, dq = dense_lik(bnew, d, z, q)
+            elif tag == "rates_time":
+                h_ch = [h[:, c] for c in child_list]
+                h_mc = h_ch[0]
+                for x in h_ch[1:]:
+                    h_mc = jnp.maximum(h_mc, x)
+                h_new, lq = truncated_normal_sample(
+                    k1, h_mc, sd, tune, 0.0, h[:, 0]
+                )
+                xi = h_new / h_mc
+                h2 = jnp.where(iota[None, :] != 0, h * xi[:, None], h)
+                # (inner - 1) non-root heights scale by xi, minus the
+                # sampled coordinate, minus 2 for birth and rate_mean
+                # divided by xi — matches _k_scale_rates_time_tree_contra.
+                lmhg = lq + (n_inner_total - 1 - 1 - 2) * jnp.log(xi)
+                bnew = batch.replace(
+                    heights=h2, birth=batch.birth / xi,
+                    rate_mean=batch.rate_mean / xi,
+                )
+                blocks = [(0, sc_of(bnew)), (o_bd, bd_of(bnew)),
+                          (o_ck, ck_of(bnew))]
+                if nn:
+                    blocks.append((o_nd, nd_of(bnew)))
+                fields = ("heights", "birth", "rate_mean")
+                d_new, z_new, q_new, dq = dense_lik(bnew, d, z, q)
+            elif tag == "slide_root":
+                ht = batch.height
+                hch = jnp.stack([h[:, c] for c in child_list], axis=-1)
+                ht_oldest = ht * jnp.max(hch, axis=-1)
+                ht_new, lq = truncated_normal_sample(
+                    k1, ht, sd, tune, ht_oldest, jnp.inf
+                )
+                u = ht_new / ht
+                scale_mask = (~is_leaf) & (iota != 0)
+                h2 = jnp.where(scale_mask[None, :], h / u[:, None], h)
+                xi = (1.0 - hch) / (u[:, None] - hch)
+                rates = r.at[:, jnp.asarray(child_list)].multiply(xi)
+                n_scaled = n_inner_total - 1
+                lmhg = (lq - n_scaled * jnp.log(u)
+                        + jnp.sum(jnp.log(xi), axis=-1))
+                bnew = batch.replace(height=ht_new, heights=h2, rates=rates)
+                blocks = [(o_bd, bd_of(bnew)), (o_ck, ck_of(bnew))]
+                if nn:
+                    blocks.append((o_nd, nd_of(bnew)))
+                fields = ("height", "heights", "rates")
+                d_new, z_new, q_new, dq = dense_lik(bnew, d, z, q)
+            elif tag in ("sub_ultra", "sub_contra"):
+                i = sx["aux"]
+                lo, hi_e = sx["lo"], sx["hi"]
+                hi_h = jnp.take(h, i, axis=1)
+                hp = jnp.take(h, parent[i], axis=1)
+                hnew, lq = truncated_normal_sample(
+                    k1, hi_h, sd, tune, 0.0, hp
+                )
+                xi = hnew / hi_h
+                mask = range_mask(lo, hi_e)
+                h2 = jnp.where(mask[None, :], h * xi[:, None], h)
+                if tag == "sub_ultra":
+                    lmhg = lq + (sx["n_inner"] - 1) * jnp.log(xi)
+                    bnew = batch.replace(heights=h2)
+                    fields = ("heights",)
+                else:
+                    xi_stem = (hp - hi_h) / (hp - hnew)
+                    proper = mask & (iota != i)
+                    rates = jnp.where(proper[None, :], r / xi[:, None], r)
+                    rates = jnp.where(
+                        (iota == i)[None, :], rates * xi_stem[:, None], rates
+                    )
+                    lmhg = (lq
+                            + (sx["n_inner"] - sx["n_nodes"]) * jnp.log(xi)
+                            + jnp.log(xi_stem))
+                    bnew = batch.replace(heights=h2, rates=rates)
+                    fields = ("heights", "rates")
+                blocks = [(o_bd, bd_of(bnew)), (o_ck, ck_of(bnew))]
+                if nn:
+                    blocks.append((o_nd, nd_of(bnew)))
+                if tag == "sub_ultra":
+                    d_new, z_new, q_new, dq = dense_lik(bnew, d, z, q)
+                else:
+                    # contrary subtree scales are exactly distance
+                    # invariant (xi_stem compensates the stem; xi cancels
+                    # inside), incl. the merged root entry -> lj = 0.
+                    d_new, z_new, q_new, dq = d, z, q, jnp.zeros_like(q)
+                    lik_upd = False
+            elif tag == "sub_rate":
+                i = sx["aux"]
+                lo, hi_e = sx["lo"], sx["hi"]
+                u, base, logu = gamma_scale_sample(k1, sd, tune)
+                mask = range_mask(lo, hi_e)
+                rates = jnp.where(mask[None, :], r * u[:, None], r)
+                lmhg = base + sx["n_nodes"] * logu
+                bnew = batch.replace(rates=rates)
+                blocks = [(o_ck, ck_of(bnew))]
+                fields = ("rates",)
+                d_new, z_new, q_new, dq = dense_lik(bnew, d, z, q)
+            else:  # pragma: no cover
+                raise ValueError(tag)
+
+            if lik_upd:
+                # Root-branch Jacobian ratio for table-flagged tickets
+                # (jacobianRootBranch, Probability.hs:393-410; the merged
+                # root-adjacent entry is internal row 0).
+                lj = jnp.where(
+                    sx["rj"],
+                    jnp.log(d[:, 0]) - jnp.log(d_new[:, 0]),
+                    0.0,
+                )
+
+            outs, d_pr, invalid = block_diffs(terms, blocks)
+            bl = jnp.broadcast_to(jnp.asarray(beta, dtype), (C,))
+            bp = jnp.broadcast_to(jnp.asarray(beta_prior, dtype), (C,))
+            log_alpha = bp * d_pr - 0.5 * bl * dq + lmhg + lj
+            log_alpha = jnp.where(
+                invalid | jnp.isnan(log_alpha), -jnp.inf, log_alpha
+            )
+            u_acc = jax.random.uniform(k2, (C,), dtype)
+            accept = jnp.log(u_acc) < log_alpha
+
+            for o, nb, old in outs:
+                terms = terms.at[:, o:o + nb.shape[-1]].set(
+                    jnp.where(accept[:, None], nb, old)
+                )
+            upd = {}
+            for f in fields:
+                a = getattr(bnew, f)
+                b = getattr(batch, f)
+                am = accept.reshape(accept.shape + (1,) * (a.ndim - 1))
+                upd[f] = jnp.where(am, a, b)
+            batch = batch.replace(**upd)
+            if lik_upd:
+                d = jnp.where(accept[:, None], d_new, d)
+                z = jnp.where(accept[:, None], z_new, z) if use_lik else z
+                q = jnp.where(accept, q_new, q)
+            return (batch, terms, d, z, q), accept
+
+        return step
 
     # -- mega-step builders ----------------------------------------------
 
@@ -1326,6 +1764,22 @@ class FastSweeps:
                 range_steps.append(
                     self._mega_range_lik(spec, dtype, beta, beta_prior)
                 )
+        # Global-move families (specialized scans; see GlobGroup).
+        glob_steps = []
+        for tag, grp in self.plan.glob_groups.items():
+            sxs = {
+                "sd": jnp.asarray(grp.sd, dtype),
+                "aux": jnp.asarray(grp.aux),
+                "lo": jnp.asarray(grp.lo),
+                "hi": jnp.asarray(grp.hi),
+                "n_inner": jnp.asarray(grp.n_inner),
+                "n_nodes": jnp.asarray(grp.n_nodes),
+                "rj": jnp.asarray(grp.rj),
+            }
+            glob_steps.append(
+                (self._glob_step(tag, dtype, beta, beta_prior),
+                 sxs, jnp.asarray(grp.rows), grp.n_tickets)
+            )
 
         terms = jax.vmap(model.log_prior_terms)(batch)
         d0 = jax.vmap(lambda s: Hops.distances_internal(s, model.topo))(batch)
@@ -1357,11 +1811,22 @@ class FastSweeps:
                 acc = acc.at[:, seq_rows].add(acc_seq)
 
             # --- batched phases (z/q-carry) ---
-            if mega_steps or range_steps:
+            if mega_steps or range_steps or glob_steps:
                 z, q = self._zq_from_y(y, dtype)
                 keys_m = jax.random.split(
-                    k_mega, len(mega_steps) + len(range_steps)
+                    k_mega,
+                    len(mega_steps) + len(range_steps) + len(glob_steps),
                 )
+                for gi, (gstep, sxs, grows, ng) in enumerate(glob_steps):
+                    kg = keys_m[len(mega_steps) + len(range_steps) + gi]
+                    tkeys = jax.random.split(kg, ng)
+                    tun_g = tuning[:, grows].T          # [n_tickets, C]
+                    carry_g = (batch, terms, d, z, q)
+                    carry_g, accepts = jax.lax.scan(
+                        gstep, carry_g, (sxs, tkeys, tun_g)
+                    )
+                    batch, terms, d, z, q = carry_g
+                    acc = acc.at[:, grows].add(accepts.T.astype(acc.dtype))
                 for mi, ms in enumerate(mega_steps):
                     tag, step, nspec = ms
                     nm = nspec["rows"].shape[0]
