@@ -40,20 +40,25 @@ Batched kinds:
   transposed ``[param, chains]`` layout, and all P/z/d row accesses go
   through one-hot MXU matmuls (advanced-index gathers cost ~5 ms flat on
   this backend; the matmul form ~0.5 ms).
+- Global-move families (round 3, ``GlobGroup``) — hyper-parameter
+  scales, contrary-global moves, variance-tree spreads, root slide,
+  rates-time scale, and the subtree scales the range grid cannot take:
+  one specialized ``lax.scan`` per family with closed-form or
+  single-matmul likelihood carry (see ``_glob_step``).
 
-Excluded from batching (routed to the sequential fallback, mh.MHKernel on a
-sub-table): root-Jacobian rows, tickets whose node participates in a
-calibration/constraint/brace term, subtrees larger than ``RB_MAX``, and
-the remaining kinds (pulley, hyper-parameter and contrary-global moves,
-braced slides) — at 1k taxa ~2% of tickets.
+Excluded from batching (routed to the sequential fallback, mh.MHKernel on
+a sub-table): pulleys, root-adjacent point moves, braced slides, and
+point/range tickets whose node participates in a constraint or brace
+term (those couple other nodes' heights) — at the uncalibrated 1k-taxa
+bench shape that is 38 of 30,786 weighted tickets (~0.1%).
 
-Planner: host-side greedy coloring of the conflict graph (parent-child
-pairs, repeated-weight copies of the same row, subtree-range overlap),
-packing each color class into mega-steps of at most ``BATCH_MAX`` tickets
-(point kinds) or bucketed sub-blocks (range kinds).
+Planner: host-side greedy conflict analysis (parent-child pairs,
+repeated-weight copies of the same row, subtree-range overlap), packing
+point kinds into mega-steps of at most ``BATCH_MAX`` tickets and range
+kinds size-descending first-fit into bucketed 1024-row blocks.
 
-Measured at 1000 taxa x 1024 chains: 1.30 s/sweep vs 16-20 s for the
-sequential scan (see PERF.md).
+Measured at 1000 taxa x 1024 chains: 0.63 s/sweep (round 3) vs 1.30 s
+for the round-2 engine and 16-20 s for the sequential scan (see PERF.md).
 """
 
 from __future__ import annotations
@@ -294,7 +299,12 @@ RANGE_KINDS = (P.K_SCALE_SUBTREE_ULTRA, P.K_SCALE_SUBTREE_RATE,
 # small subtrees (the vast majority; mean size ~ log N) pack 64 tickets of
 # up to 16 rows, mid-size 16 x 64, large 4 x 256.  Even larger subtrees
 # fall back to the sequential phase (a handful near the root).
-RANGE_BUCKETS = ((64, 16), (16, 64), (4, 256))  # (tickets, rows) per block
+# (tickets, rows) per block: every bucket is a 1024-row grid.  Block
+# ticket counts are capped at 64: the in-block sequential-correction scan
+# is linear in tickets-per-block with a [C, S]-sized body, so finer size
+# buckets with S up to 256 measured SLOWER despite less row padding
+# (0.41 vs 0.39 s at the 1k-taxa bench shape).
+RANGE_BUCKETS = ((64, 16), (16, 64), (4, 256))
 RB_MAX = 256
 
 
@@ -484,33 +494,36 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
             prev_rb = rb
             if not tickets:
                 continue
-            # Color into groups of pairwise-disjoint ranges (and distinct
-            # rows), then pack each color into subr-sized sub-blocks.
-            colors: List[List[int]] = []
-            color_mask: List[np.ndarray] = []
-            color_rows: List[set] = []
+            # Pack directly into subr-sized blocks by first-fit over
+            # size-descending tickets: a block needs pairwise-disjoint
+            # ranges and distinct table rows ONLY within itself (the old
+            # global coloring fragmented a partial block per color).
+            tickets = sorted(
+                tickets,
+                key=lambda t: int(node[t]) - int(subtree_end[node[t]]),
+            )
+            blocks: List[List[int]] = []
+            block_mask: List[np.ndarray] = []
+            block_rows: List[set] = []
             for t in tickets:
                 i = int(node[t])
                 lo, hi = i, int(subtree_end[i])
                 placed = False
-                for ci in range(len(colors)):
-                    if t in color_rows[ci] or color_mask[ci][lo:hi].any():
+                for bi in range(len(blocks)):
+                    if (len(blocks[bi]) >= subr or t in block_rows[bi]
+                            or block_mask[bi][lo:hi].any()):
                         continue
-                    colors[ci].append(t)
-                    color_mask[ci][lo:hi] = True
-                    color_rows[ci].add(t)
+                    blocks[bi].append(t)
+                    block_mask[bi][lo:hi] = True
+                    block_rows[bi].add(t)
                     placed = True
                     break
                 if not placed:
-                    colors.append([t])
+                    blocks.append([t])
                     msk = np.zeros(n, bool)
                     msk[lo:hi] = True
-                    color_mask.append(msk)
-                    color_rows.append({t})
-            blocks: List[List[int]] = []
-            for col in colors:
-                for s0 in range(0, len(col), subr):
-                    blocks.append(col[s0:s0 + subr])
+                    block_mask.append(msk)
+                    block_rows.append({t})
             m = len(blocks)
             if k == P.K_SCALE_SUBTREE_RATE:
                 kn = 0
@@ -715,6 +728,33 @@ class FastSweeps:
             mu64 = np.asarray(model.mu_internal, np.float64)
             self._Pmu_int = np.asarray(self._prec_int, np.float64) @ mu64
             self._mPm_int = float(mu64 @ self._Pmu_int)
+        self._const_cache = {}
+
+    def _const(self, name, dtype):
+        """Dtype-converted model constant, cached so every mega-step /
+        glob-family builder closes over the SAME jax array object.  JAX
+        dedupes jaxpr constants by object identity: without this cache each
+        builder embedded its own copy of the [D, D] precision (~17 MB at 2k
+        dims x ~15 closures), which multiplied both compile time and HBM."""
+        key = (name, jnp.dtype(dtype).name)
+        out = self._const_cache.get(key)
+        if out is None:
+            # First use is typically under a jit trace; force eager
+            # materialization so the cached value is a concrete device
+            # array, not a tracer of whichever trace got here first.
+            with jax.ensure_compile_time_eval():
+                if name == "prec":
+                    out = jnp.asarray(self._prec_int, dtype)
+                elif name == "chol":
+                    out = jnp.asarray(self._chol_int, dtype)
+                elif name == "mu":
+                    out = jnp.asarray(self.model.mu_internal, dtype)
+                elif name == "Pmu":
+                    out = jnp.asarray(self._Pmu_int, dtype)
+                else:  # pragma: no cover
+                    raise KeyError(name)
+            self._const_cache[key] = out
+        return out
 
     # -- carried-quantity conversions ----------------------------------
 
@@ -722,7 +762,7 @@ class FastSweeps:
         if not self.use_lik:
             C = y.shape[0]
             return jnp.zeros((C, 0), dtype), jnp.zeros((C,), dtype)
-        L = jnp.asarray(self._chol_int, dtype)
+        L = self._const("chol", dtype)
         z = y @ L.T
         q = jnp.sum(y * y, axis=-1)
         return z, q
@@ -730,8 +770,8 @@ class FastSweeps:
     def _y_from_d(self, d, dtype):
         if not self.use_lik:
             return jnp.zeros((d.shape[0], 0), dtype)
-        L = jnp.asarray(self._chol_int, dtype)
-        mu = jnp.asarray(self.model.mu_internal, dtype)
+        L = self._const("chol", dtype)
+        mu = self._const("mu", dtype)
         return (d - mu) @ L
 
     # -- global-move family scans (round 3) -------------------------------
@@ -768,10 +808,10 @@ class FastSweeps:
         child_list = [int(c) for c in topo.children[0] if c >= 0]
         n_inner_total = int((~np.asarray(topo.is_leaf)).sum())
         if use_lik:
-            Pm = jnp.asarray(self._prec_int, dtype)
-            Pmu = jnp.asarray(self._Pmu_int, dtype)
+            Pm = self._const("prec", dtype)
+            Pmu = self._const("Pmu", dtype)
             mPm = jnp.asarray(self._mPm_int, dtype)
-            mu_int = jnp.asarray(model.mu_internal, dtype)
+            mu_int = self._const("mu", dtype)
 
         sc_of = jax.vmap(model.term_scalars)
         bd_of = jax.vmap(model.term_bd)
@@ -1178,7 +1218,7 @@ class FastSweeps:
         kt = spec.t_rows.shape[-1]
         B = spec.b
         n_sub = (B + SUB - 1) // SUB
-        Pm = jnp.asarray(self._prec_int, dtype) if use_lik else None
+        Pm = self._const("prec", dtype) if use_lik else None
         topo = self.model.topo
         is_leaf = jnp.asarray(topo.is_leaf)
 
@@ -1199,7 +1239,18 @@ class FastSweeps:
 
             d_ok = d_rows >= 0
             d_safe = jnp.clip(d_rows, min=0)
-            d_old = d[:, d_safe]                              # [C, B, KD]
+            if use_lik:
+                # One-hot selector over the step's B*KD touched distance
+                # rows (pad slots -> all-zero rows): every P/z/d row access
+                # below rides the MXU instead of a flat-cost gather.
+                D = Pm.shape[0]
+                d_flat = d_safe.reshape(-1)
+                iota_d = jax.lax.broadcasted_iota(jnp.int32, (B * kd, D), 1)
+                OHB = ((d_flat[:, None] == iota_d)
+                       & d_ok.reshape(-1)[:, None]).astype(dtype)
+                d_old = (d @ OHB.T).reshape(C, B, kd)        # [C, B, KD]
+            else:
+                d_old = d[:, d_safe]                          # [C, B, KD]
 
             if is_branch:
                 u, base, logu = gamma_scale_sample(
@@ -1306,21 +1357,32 @@ class FastSweeps:
                 dq_all = jnp.zeros((C, B), dtype)
             else:
                 # --- likelihood with sequential correction, sub-blocked ---
+                # All P/z row accesses via the step's one-hot selector:
+                # Prow = P[touched rows], Pblk = P between touched rows,
+                # zG = the gathered z view — updated INCREMENTALLY between
+                # sub-blocks through Pblk so z itself is touched only once
+                # at the end (add-form scatter of all accepted deltas).
+                Prow = OHB @ Pm                                # [B*KD, D]
+                Pblk = Prow @ OHB.T                            # [B*KD, B*KD]
+                Pblk4 = Pblk.reshape(B, kd, B, kd)
+                zG = z @ OHB.T                                 # [C, B*KD]
                 accept = jnp.zeros((C, B), bool)
                 dq_all = jnp.zeros((C, B), dtype)
                 for s0 in range(n_sub):
                     lo = s0 * SUB
                     hi_ = min(lo + SUB, B)
                     Sn = hi_ - lo
-                    dr = d_safe[lo:hi_]                         # [S, KD]
                     dok = d_ok[lo:hi_]
                     dl = delta[:, lo:hi_]                       # [C, S, KD]
-                    zg = z[:, dr]                               # [C, S, KD]
+                    zg = zG[:, lo * kd:hi_ * kd].reshape(C, Sn, kd)
+                    blk = Pblk4[lo:hi_, :, lo:hi_, :]
                     # P blocks: self [S, KD, KD], cross [S, S, KD, KD]
-                    Pself = Pm[dr[:, :, None], dr[:, None, :]]
+                    Pself = jnp.moveaxis(
+                        jnp.diagonal(blk, axis1=0, axis2=2), -1, 0
+                    )
                     dq0 = (2.0 * jnp.sum(dl * zg, axis=-1)
                            + jnp.einsum("csi,sij,csj->cs", dl, Pself, dl))
-                    Pcross = Pm[dr[:, None, :, None], dr[None, :, None, :]]
+                    Pcross = jnp.moveaxis(blk, 1, 2)
                     # T[c, a, b] = delta_a' P delta_b
                     T = jnp.einsum("cai,abij,cbj->cab", dl, Pcross, dl)
 
@@ -1340,16 +1402,18 @@ class FastSweeps:
                         body, accm0,
                         (dq0.T, d_pr[:, lo:hi_].T, lmhg[:, lo:hi_].T,
                          u_acc[:, lo:hi_].T, jnp.moveaxis(T, 2, 0), eye),
+                        unroll=8,
                     )
                     a_sub = a_sub.T                               # [C, S]
                     dq_sub = dq_sub.T
                     accept = accept.at[:, lo:hi_].set(a_sub)
                     dq_all = dq_all.at[:, lo:hi_].set(dq_sub)
-                    # Next sub-block must see this one's accepted deltas.
+                    # Later sub-blocks see this one's accepted deltas via
+                    # the gathered view (zG += dacc @ P[rows_s, rows_all]).
                     if s0 < n_sub - 1:
                         dacc = jnp.where(a_sub[..., None] & dok, dl, 0.0)
-                        Prows = Pm[dr.reshape(-1)]                # [S*KD, D]
-                        z = z + dacc.reshape(C, -1) @ Prows
+                        zG = zG + (dacc.reshape(C, -1)
+                                   @ Pblk[lo * kd:hi_ * kd])
 
             # --- apply ---
             accept = accept & valid
@@ -1362,17 +1426,19 @@ class FastSweeps:
             terms = terms.at[:, t_safe].set(
                 jnp.where(accept[..., None] & t_ok, tn, told)
             )
-            d = d.at[:, d_safe].set(
-                jnp.where(accept[..., None] & d_ok, d_new, d_old)
-            )
             if use_lik:
-                # Final z refresh for the last sub-block's acceptances.
+                # Single add-form writeback of all accepted deltas: tickets
+                # in a step touch provably disjoint rows, and pad slots are
+                # all-zero in OHB, so scatter-add is exact.
                 dacc_all = jnp.where(accept[..., None] & d_ok, delta, 0.0)
-                last_lo = (n_sub - 1) * SUB
-                dl_last = dacc_all[:, last_lo:B]
-                Prows_last = Pm[d_safe[last_lo:B].reshape(-1)]
-                z = z + dl_last.reshape(C, -1) @ Prows_last
+                dacc_flat = dacc_all.reshape(C, B * kd)
+                d = d + dacc_flat @ OHB
+                z = z + dacc_flat @ Prow
                 q = q + jnp.sum(jnp.where(accept, dq_all, 0.0), axis=-1)
+            else:
+                d = d.at[:, d_safe].set(
+                    jnp.where(accept[..., None] & d_ok, d_new, d_old)
+                )
             acc = acc.at[:, rows].add(accept.astype(acc.dtype))
             return (batch, terms, d, z, q, tuning, acc, key), None
 
@@ -1510,7 +1576,7 @@ class FastSweeps:
         use_lik = self.use_lik
         is_leaf = jnp.asarray(topo.is_leaf)
         pos = jnp.asarray(np.asarray(topo.internal_pos))
-        Pm = jnp.asarray(self._prec_int, dtype) if use_lik else None
+        Pm = self._const("prec", dtype) if use_lik else None
         nspec = {
             f.name: jnp.asarray(getattr(spec, f.name))
             for f in dataclasses.fields(spec) if f.name != "kind"
@@ -1668,6 +1734,7 @@ class FastSweeps:
                 _, (a_seq, dq_seq) = jax.lax.scan(
                     body, accm0,
                     (dq0, d_pr, lmhg, u_acc, jnp.moveaxis(X, 1, 0), eye),
+                    unroll=8,
                 )
                 accept = a_seq                           # [S, C]
                 dq_all = dq_seq
