@@ -64,6 +64,7 @@ for the round-2 engine and 16-20 s for the sequential scan (see PERF.md).
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Dict, List
 
@@ -305,7 +306,14 @@ RANGE_KINDS = (P.K_SCALE_SUBTREE_ULTRA, P.K_SCALE_SUBTREE_RATE,
 # buckets with S up to 256 measured SLOWER despite less row padding
 # (0.41 vs 0.39 s at the 1k-taxa bench shape).
 RANGE_BUCKETS = ((64, 16), (16, 64), (4, 256))
-RB_MAX = 256
+# Experimental override for the phase-budget probe (tools/phase_budget.py):
+# "64x16,16x64,4x256"-style geometry list.  Production uses the default.
+_rb_env = os.environ.get("MCMCDATE_RANGE_BUCKETS")
+if _rb_env:
+    RANGE_BUCKETS = tuple(
+        tuple(int(x) for x in part.split("x")) for part in _rb_env.split(",")
+    )
+RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 
 
 def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:

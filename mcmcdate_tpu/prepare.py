@@ -35,6 +35,11 @@ from .tree.rose import (
 )
 from .utils import glasso as G
 
+# Above this dimension the sparse (graphical-lasso) preparation runs on the
+# accelerator (utils/glasso.py:graphical_lasso_admm); below it the host BCD
+# solver is used (bit-compatible with rounds 1-2 outputs at fixture scale).
+GLASSO_HOST_MAX = 400
+
 
 @dataclass
 class PrepareResult:
@@ -236,7 +241,22 @@ def prepare(
         log(f"Use a (provided) penalty parameter of: {sparse_rho}.")
         mu_s, sd_s, xs_norm = G.scale_data(pm_r)
         corr = np.cov(xs_norm, rowvar=False)
-        sigma_norm_sparse, prec_norm_sparse = G.graphical_lasso(corr, sparse_rho)
+        if len(mu) > GLASSO_HOST_MAX:
+            # TPU-resident ADMM solver: same convex program, unique
+            # minimizer; one eigh + elementwise work per iteration on the
+            # accelerator.  The host BCD path (cyclic Python lasso solves)
+            # is practical to a few hundred dims; the reference's largest
+            # sparse preparation is GOE-scale, 2,047 dims
+            # (tutorial_goe.md), which only this path reaches in minutes.
+            log(f"Graphical lasso on the accelerator (ADMM, "
+                f"{len(mu)} dims > host limit {GLASSO_HOST_MAX}).")
+            sigma_norm_sparse, prec_norm_sparse = G.graphical_lasso_admm(
+                corr, sparse_rho
+            )
+        else:
+            sigma_norm_sparse, prec_norm_sparse = G.graphical_lasso(
+                corr, sparse_rho
+            )
         sigma_sparse = G.rescale_cov(sd_s, sigma_norm_sparse)
         prec_sparse = G.rescale_precision(sd_s, prec_norm_sparse)
         sign_s, log_det_s = np.linalg.slogdet(sigma_sparse)

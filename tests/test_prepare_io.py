@@ -216,6 +216,35 @@ def test_glasso_sparsifies():
     assert abs(Theta[0, 1]) > 0.1
 
 
+def test_glasso_admm_matches_bcd():
+    """The accelerator ADMM solver and the host BCD solver minimize the
+    same strictly convex objective (FHT-2008 graphical lasso, penalty on
+    every entry), so their solutions agree to solver tolerance — on both
+    the precision entries and the objective value."""
+    rng = np.random.default_rng(7)
+    p, n = 40, 2000
+    a = rng.normal(size=(p, p)) / np.sqrt(p)
+    truth = a @ a.T + np.eye(p)
+    x = rng.multivariate_normal(np.zeros(p), np.linalg.inv(truth), size=n)
+    mu, sd, xn = G.scale_data(x)
+    S = np.cov(xn, rowvar=False)
+    rho = 0.05
+
+    def objective(Theta):
+        sign, ld = np.linalg.slogdet(Theta)
+        assert sign > 0
+        return -ld + np.sum(S * Theta) + rho * np.abs(Theta).sum()
+
+    W_b, T_b = G.graphical_lasso(S, rho)
+    W_a, T_a = G.graphical_lasso_admm(S, rho, tol=1e-8)
+    assert abs(objective(T_a) - objective(T_b)) < 1e-4
+    assert np.max(np.abs(T_a - T_b)) < 5e-3
+    # The returned covariance is the inverse of the returned precision.
+    assert np.allclose(W_a @ T_a, np.eye(p), atol=1e-8)
+    # ADMM's soft threshold produces exact zeros (a sparse Theta), like BCD.
+    assert (T_a == 0.0).sum() > 0
+
+
 # ---------------------------------------------------------------------------
 # Prepare pipeline end-to-end on a simulated fixture
 # ---------------------------------------------------------------------------
