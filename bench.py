@@ -33,6 +33,7 @@ import numpy as np
 N_TAXA = 1000
 N_CHAINS = 1024
 BASELINE_EVALS_PER_SEC = 250.0
+N_REPEATS = 3  # per-metric timing repeats; the JSON reports the MEDIAN
 
 
 def build(n_taxa=N_TAXA, n_chains=N_CHAINS, dtype=jnp.float32, seed=0):
@@ -88,13 +89,15 @@ def bench_sweep(model, batch):
     out = run(batch, tuning, key)
     _ = float(np.asarray(out[1])[0])  # hard sync (block can no-op on axon)
     reps = 2
-    t0 = time.perf_counter()
+    times = []
     o = out
-    for i in range(reps):
-        o = run(o[0], tuning, jax.random.fold_in(key, i))
-    _ = float(np.asarray(o[1])[0])
-    dt = (time.perf_counter() - t0) / (reps * CHUNK)
-    return table.n_tickets, dt
+    for r in range(N_REPEATS):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            o = run(o[0], tuning, jax.random.fold_in(key, r * reps + i))
+        _ = float(np.asarray(o[1])[0])
+        times.append((time.perf_counter() - t0) / (reps * CHUNK))
+    return table.n_tickets, times
 
 
 def main():
@@ -120,30 +123,44 @@ def main():
     _ = np.asarray(f(batch))  # compile + warm up; full host materialization
 
     # block_until_ready can be a no-op on proxied backends; force a device
-    # round-trip by materializing the result on the host.
-    t0 = time.perf_counter()
-    out = np.asarray(f(batch))
-    dt = time.perf_counter() - t0
+    # round-trip by materializing the result on the host.  Each metric is
+    # timed N_REPEATS times (the round-3 single-shot numbers showed 2.4x
+    # tunnel variance between rounds); report the median + spread.
+    kernel_dts = []
+    for _r in range(N_REPEATS):
+        t0 = time.perf_counter()
+        out = np.asarray(f(batch))
+        kernel_dts.append(time.perf_counter() - t0)
     assert out.shape == (iters, N_CHAINS) and np.all(np.isfinite(out))
 
     evals = N_CHAINS * iters
+    dt = float(np.median(kernel_dts))
     evals_per_sec = evals / dt
 
-    n_tickets, sweep_dt = bench_sweep(model, batch)
+    n_tickets, sweep_dts = bench_sweep(model, batch)
+    sweep_dt = float(np.median(sweep_dts))
     prop_per_sec = n_tickets * N_CHAINS / sweep_dt
     result = {
         "metric": "sweep_proposal_evals_per_sec_per_chip_1k_taxa",
         "value": round(prop_per_sec, 1),
         "unit": "proposal-evals/s",
         "vs_baseline": round(prop_per_sec / BASELINE_EVALS_PER_SEC, 1),
+        "repeats": N_REPEATS,
+        "sweep_s_median": round(sweep_dt, 4),
+        "sweep_s_min": round(float(np.min(sweep_dts)), 4),
+        "sweep_s_max": round(float(np.max(sweep_dts)), 4),
+        "mvn_kernel_evals_per_sec_median": round(evals_per_sec, 1),
+        "mvn_kernel_s_min": round(float(np.min(kernel_dts)), 4),
+        "mvn_kernel_s_max": round(float(np.max(kernel_dts)), 4),
     }
     print(json.dumps(result))
     print(
-        f"# full sweep: {n_tickets} tickets x {N_CHAINS} chains in "
-        f"{sweep_dt:.2f}s/sweep; kernel-only MVN loglik: "
-        f"{evals_per_sec:.0f} evals/s ({N_CHAINS} chains x {iters} iters in "
-        f"{dt:.3f}s) on {jax.devices()[0].device_kind}; "
-        f"dim={model.likelihood.dim}",
+        f"# full sweep: {n_tickets} tickets x {N_CHAINS} chains, "
+        f"{[round(t, 3) for t in sweep_dts]} s/sweep (median {sweep_dt:.2f}); "
+        f"kernel-only MVN loglik: {evals_per_sec:.0f} evals/s median "
+        f"({N_CHAINS} chains x {iters} iters, "
+        f"{[round(t, 3) for t in kernel_dts]} s) on "
+        f"{jax.devices()[0].device_kind}; dim={model.likelihood.dim}",
         file=sys.stderr,
     )
 

@@ -26,12 +26,16 @@ def _parse_likelihood_spec(s: str) -> Tuple[str, float]:
     table = {
         "fullmultivariatenormal": mvn.FULL,
         "full": mvn.FULL,
+        "f": mvn.FULL,  # scripts/run single-letter code (scripts/run:134-141)
         "sparsemultivariatenormal": mvn.SPARSE,
         "sparse": mvn.SPARSE,
+        "s": mvn.SPARSE,
         "univariatenormal": mvn.UNIVARIATE,
         "univariate": mvn.UNIVARIATE,
+        "u": mvn.UNIVARIATE,
         "nolikelihood": mvn.NONE,
         "none": mvn.NONE,
+        "n": mvn.NONE,
     }
     if head not in table:
         raise SystemExit(f"Unknown likelihood spec: {s!r}")
@@ -48,11 +52,19 @@ def _parse_clock(s: str) -> str:
         clocks.AUTOCORRELATED_GAMMA,
         clocks.AUTOCORRELATED_LOG_NORMAL,
     )}
+    # scripts/run two-letter model codes (scripts/run:112-123).
+    table.update(
+        ug=clocks.UNCORRELATED_GAMMA,
+        ul=clocks.UNCORRELATED_LOG_NORMAL,
+        uw=clocks.UNCORRELATED_WHITE_NOISE,
+        ag=clocks.AUTOCORRELATED_GAMMA,
+        al=clocks.AUTOCORRELATED_LOG_NORMAL,
+    )
     key = s.strip().lower()
     if key not in table:
         raise SystemExit(
             f"Unknown relaxed molecular clock model: {s!r} "
-            f"(choose from {sorted(table.values())})"
+            f"(choose from {sorted(set(table.values()))})"
         )
     return table[key]
 
@@ -90,6 +102,21 @@ def _apply_conf(args):
         args.constraints = conf["constraints"]
     if getattr(args, "braces", None) is None and conf.get("braces"):
         args.braces = conf["braces"]
+    # Model keys (extension: the reference passes these as positional codes
+    # to scripts/run, e.g. "./run -c ug s r", scripts/run:108-147; conf
+    # files may carry them here so a test dir reproduces with no extra
+    # flags).  Short codes (ug/ul/uw/al, f/s/u/n) are accepted everywhere.
+    if (getattr(args, "likelihood_spec", None) is None
+            and conf.get("likelihood_spec")):
+        args.likelihood_spec = conf["likelihood_spec"]
+    if (getattr(args, "relaxed_molecular_clock", None) is None
+            and conf.get("relaxed_molecular_clock")):
+        args.relaxed_molecular_clock = conf["relaxed_molecular_clock"]
+    # Reference "suffix" key distinguishes results of the same analysis
+    # (scripts/analysis.conf sample): append it to the analysis name.
+    if conf.get("suffix") and args.analysis_name is not None \
+            and not args.analysis_name.endswith("-" + conf["suffix"]):
+        args.analysis_name = f"{args.analysis_name}-{conf['suffix']}"
     if args.analysis_name is None:
         raise SystemExit("analysis name missing (flag or analysis.conf)")
 
@@ -111,9 +138,13 @@ def _add_run_args(p: argparse.ArgumentParser):
                    help="shrink schedules for profiling")
     p.add_argument("--hamiltonian", action="store_true",
                    help="add the NUTS proposal to the cycle")
-    p.add_argument("--likelihood-spec", required=True, metavar="SPEC")
-    p.add_argument("--relaxed-molecular-clock", default="UncorrelatedGamma",
-                   metavar="MODEL")
+    p.add_argument("--likelihood-spec", metavar="SPEC",
+                   help="full | sparse RHO | univariate | none (reference "
+                        "constructor spellings and f/s/u/n codes accepted); "
+                        "required unless set by --analysis-conf")
+    p.add_argument("--relaxed-molecular-clock", metavar="MODEL",
+                   help="default UncorrelatedGamma; ug/ul/uw/al codes "
+                        "accepted (scripts/run:112-123)")
     p.add_argument("--seed", type=int, metavar="NUMBER")
     p.add_argument("--mc3", action="store_true",
                    help="use MC3 (parallel tempering) instead of MHG")
@@ -141,7 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--analysis-conf", metavar="FILE")
     p.add_argument("--rooted-tree", metavar="FILE")
     p.add_argument("--trees", metavar="FILE")
-    p.add_argument("--likelihood-spec", required=True, metavar="SPEC")
+    p.add_argument("--likelihood-spec", metavar="SPEC")
     p.add_argument("--out-dir", default=".")
 
     p = sub.add_parser("run", help="run the MCMC sampler")
@@ -153,6 +184,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("marginal-likelihood",
                        help="stepping-stone marginal likelihood")
     _add_run_args(p)
+    p.add_argument("--no-annealed-init", action="store_true",
+                   help="skip the annealed-init cascade (each stone then "
+                        "burns in from the naive init in parallel; the "
+                        "reference always anneals, app/Main.hs:525-543)")
 
     p = sub.add_parser("analyze", help="post-process monitor files "
                        "(scripts/analyze equivalent)")
@@ -254,7 +289,7 @@ def _load_model(args, log):
             f"Likelihood specification ({spec}) and data ({data.kind}) do not match."
         )
 
-    clock = _parse_clock(args.relaxed_molecular_clock)
+    clock = _parse_clock(args.relaxed_molecular_clock or "UncorrelatedGamma")
     model = DatingModel(
         topo=topo,
         likelihood=data,
@@ -411,7 +446,9 @@ def cmd_marginal_likelihood(args):
         if args.iterations is None:
             settings.iterations = 50 if args.profile else 4000
         run_marginal_likelihood(model, init, settings, profile=args.profile,
-                                hamiltonian=args.hamiltonian, log=log)
+                                hamiltonian=args.hamiltonian,
+                                annealed_init=not args.no_annealed_init,
+                                log=log)
     finally:
         log.close()
 
@@ -478,6 +515,9 @@ def main(argv=None):
         if args.mode == "prepare" and (args.rooted_tree is None or args.trees is None):
             raise SystemExit("prepare requires --rooted-tree and --trees "
                              "(flags or analysis.conf)")
+        if getattr(args, "likelihood_spec", None) is None:
+            raise SystemExit("--likelihood-spec missing "
+                             "(flag or analysis.conf likelihood_spec key)")
     if args.mode == "prepare":
         cmd_prepare(args)
     elif args.mode == "run":

@@ -42,6 +42,32 @@ def _slim_outs(outs):
     return slim
 
 
+def _diag_node_subset(model: DatingModel, max_nodes: int = 16):
+    """Pick the node subset whose ages feed cross-chain diagnostics: the
+    root, up to half the budget of evenly-sampled calibrated nodes (named
+    by their calibration), and the largest inner subtrees (deep nodes mix
+    slowest, so they bound convergence)."""
+    topo = model.topo
+    labels = {0: "root"}
+    take = [0]
+    cal = model.calibrations
+    if cal.n:
+        for i in np.linspace(0, cal.n - 1, min(cal.n, max_nodes // 2)).astype(int):
+            nd = int(np.asarray(cal.node)[i])
+            if nd not in labels:
+                labels[nd] = (cal.names[i] if cal.names else f"node{nd}")
+                take.append(nd)
+    sizes = np.asarray(topo.n_nodes_subtree)
+    inner = [int(i) for i in np.asarray(topo.inner_nodes) if i != 0]
+    for i in sorted(inner, key=lambda j: -int(sizes[j])):
+        if len(take) >= max_nodes:
+            break
+        if i not in labels:
+            labels[i] = f"node{i}"
+            take.append(i)
+    return np.asarray(take, np.int32), [labels[i] for i in take]
+
+
 @dataclass
 class RunSettings:
     """Mirrors the reference ``Settings`` (app/Main.hs:444-456)."""
@@ -102,6 +128,16 @@ class ChainRunner:
 
             self.mesh = chain_mesh(n_dev)
             log(f"sharding {settings.n_chains} chains over {n_dev} devices")
+        # Cross-chain node-age diagnostics: a small static node subset whose
+        # absolute ages are collected for ALL chains, so R-hat/ESS cover the
+        # quantities users consume (node ages), not just the 6 scalars.
+        self.diag_idx, self.diag_labels = _diag_node_subset(model)
+        self._diag_idx_dev = jnp.asarray(self.diag_idx)
+        # Full-history cross-chain draws ({name: [arrays of [T, chains]]}),
+        # persisted as the trace sidecar at every checkpoint and preloaded on
+        # ``continue`` (the reference's Save serializes the trace with the
+        # chain, app/Main.hs:453).
+        self._draws_hist: dict = {}
 
     def maybe_shard(self, batch, tuning):
         """Shard the chain batch + tuning over the local device mesh."""
@@ -130,6 +166,9 @@ class ChainRunner:
             lp_cal=m.log_prior_cal_con_brace(state),
             lp_bd=m.log_prior_birth_death(state),
             lp_clock=m.log_prior_relaxed_clock(state),
+            # Absolute ages of the diagnostic node subset, kept for ALL
+            # chains (scalar-sized: K <= 16 entries per chain per sweep).
+            ages_diag=state.heights[self._diag_idx_dev] * state.height,
         )
 
     def chunk_fn(self, collect: bool, with_nuts: bool = False):
@@ -273,7 +312,9 @@ class ChainRunner:
         next_save = it + self.s.save_period
         scalar_names = ("birth", "death", "height", "rate_mean", "rate_var",
                         "lp_post")
-        draws = {k: [] for k in scalar_names}
+        draws = self._draws_hist
+        for k in scalar_names:
+            draws.setdefault(k, [])
         while it < start_iteration + iterations:
             n = min(CHUNK, start_iteration + iterations - it)
             batch, key, acc, tot, outs_all = self._run_window(
@@ -286,6 +327,11 @@ class ChainRunner:
                     monitor.write_rows(it, rows)
                     for k2 in scalar_names:
                         draws[k2].append(np.asarray(outs[k2]))
+                    ages = np.asarray(outs["ages_diag"])  # [T, chains, K]
+                    for j, lbl in enumerate(self.diag_labels):
+                        draws.setdefault(f"age[{lbl}]", []).append(
+                            ages[:, :, j]
+                        )
             it += n
             if on_checkpoint is not None and it >= next_save:
                 on_checkpoint(batch, tuning, key, it)
@@ -306,10 +352,39 @@ class ChainRunner:
         self._write_diagnostics(draws)
         return batch, tuning, key
 
+    def trace_arrays(self) -> dict:
+        """Full cross-chain draw history as ``{name: [draws, chains]}``."""
+        return {
+            k: np.concatenate(v, axis=0)
+            for k, v in self._draws_hist.items() if v
+        }
+
+    def preload_trace(self, trace: Optional[dict]):
+        """Seed the draw history from a saved trace (``continue``): the final
+        diagnostics then cover the whole run, not just post-continue draws."""
+        if not trace:
+            return
+        C = self.s.n_chains
+        for k, arr in trace.items():
+            arr = np.asarray(arr)
+            if arr.ndim == 2 and arr.shape[1] == C:
+                self._draws_hist.setdefault(k, []).append(arr)
+            else:
+                self.log(
+                    f"trace: dropping {k} (saved chains {arr.shape} do not "
+                    f"match the current {C}-chain run)"
+                )
+
+    # Fraction of the sampling draws dropped before computing R-hat/ESS:
+    # the reference's validation workflow also discards an initial segment
+    # in R before diagnosing (comparison README:241-269); without it,
+    # residual post-burn-in drift dominates split R-hat on long runs.
+    DIAG_DROP_FRACTION = 0.25
+
     def _write_diagnostics(self, draws):
-        """Cross-chain R-hat / bulk ESS over the scalar parameters; the
-        reference delegates this to external R scripts
-        (bench/comparison_with_mcmctree/README.md:265-269)."""
+        """Cross-chain R-hat / bulk+tail ESS over the scalar parameters and
+        the diagnostic node ages; the reference delegates this to external
+        R scripts (bench/comparison_with_mcmctree/README.md:265-269)."""
         if not draws or not next(iter(draws.values())):
             return
         from .diagnostics import summarize
@@ -317,15 +392,21 @@ class ChainRunner:
         samples = {
             k: np.concatenate(v, axis=0) for k, v in draws.items() if v
         }
+        drop = int(next(iter(samples.values())).shape[0]
+                   * self.DIAG_DROP_FRACTION)
+        samples = {k: v[drop:] for k, v in samples.items()}
+        if drop:
+            self.log(f"diagnostics: dropping the first {drop} draws "
+                     f"({self.DIAG_DROP_FRACTION:.0%}) as residual warmup")
         self.log("convergence diagnostics (all chains):")
         table = summarize(samples, log=self.log)
         path = f"{self.s.out_dir}/{self.s.analysis_name}.diagnostics.tsv"
         with open(path, "w") as fh:
-            fh.write("Parameter\tMean\tSD\tESS\tRhat\n")
+            fh.write("Parameter\tMean\tSD\tESS\tTailESS\tRhat\n")
             for k, s in table.items():
                 fh.write(
                     f"{k}\t{s['mean']:.6g}\t{s['sd']:.6g}\t{s['ess']:.1f}\t"
-                    f"{s['rhat']:.4f}\n"
+                    f"{s['ess_tail']:.1f}\t{s['rhat']:.4f}\n"
                 )
 
 
@@ -364,10 +445,17 @@ def run_analysis(
                 runner.nuts.state_arrays() if runner.nuts is not None else None
             ),
         )
+        trace = runner.trace_arrays()
+        if trace:
+            ckpt.save_trace(settings.analysis_name, trace,
+                            out_dir=settings.out_dir)
         log(f"checkpoint at iteration {it}")
 
     if continue_from is not None:
         batch, tuning, key, start_it = continue_from
+        runner.preload_trace(
+            ckpt.load_trace(settings.analysis_name, in_dir=settings.out_dir)
+        )
         if runner.nuts is not None:
             runner.nuts.restore(ckpt.load_arrays(
                 settings.analysis_name, ("nuts_eps", "nuts_inv_mass"),

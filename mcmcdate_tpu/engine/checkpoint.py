@@ -33,6 +33,47 @@ def meta_file(analysis_name: str) -> str:
     return analysis_name + ".mcmc.json"
 
 
+def trace_file(analysis_name: str) -> str:
+    return analysis_name + ".trace.npz"
+
+
+def _atomic_write(path: str, writer):
+    """Write via a temp file in the same directory + ``os.replace`` so a
+    crash mid-write can never corrupt the only copy (the reference's
+    ``Save`` rewrites its JSON checkpoint wholesale each period; a torn
+    write there loses the chain — here the rename is atomic)."""
+    tmp = path + ".tmp"
+    writer(tmp)
+    os.replace(tmp, path)
+
+
+def _savez(path: str, arrays: dict):
+    """savez through a file object (a bare non-.npz path would get ".npz"
+    appended, breaking the atomic tmp+rename)."""
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+
+
+def save_trace(analysis_name: str, draws: dict, out_dir: str = "."):
+    """Persist the cross-chain scalar/node-age trace ``{name: [draws,
+    chains]}`` next to the checkpoint.  The reference's ``Save`` serializes
+    the full chain INCLUDING the trace (app/Main.hs:453), so ``continue``
+    resumes diagnostics over the whole history — this sidecar provides the
+    same capability."""
+    arrays = {k: np.asarray(v, np.float32) for k, v in draws.items()}
+    path = os.path.join(out_dir, trace_file(analysis_name))
+    _atomic_write(path, lambda tmp: _savez(tmp, arrays))
+
+
+def load_trace(analysis_name: str, in_dir: str = ".") -> Optional[dict]:
+    """Load a saved trace, or None if the analysis has none."""
+    path = os.path.join(in_dir, trace_file(analysis_name))
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {k: np.asarray(z[k]) for k in z.files}
+
+
 def save(
     analysis_name: str,
     state: State,
@@ -58,7 +99,7 @@ def save(
     if extra_arrays:
         arrays.update({k: np.asarray(v) for k, v in extra_arrays.items()})
     path = os.path.join(out_dir, checkpoint_file(analysis_name))
-    np.savez_compressed(path, **arrays)
+    _atomic_write(path, lambda tmp: _savez(tmp, arrays))
     meta = {
         "format_version": FORMAT_VERSION,
         "iteration": int(iteration),
@@ -67,8 +108,12 @@ def save(
     }
     if extra:
         meta.update(extra)
-    with open(os.path.join(out_dir, meta_file(analysis_name)), "w") as fh:
-        json.dump(meta, fh)
+
+    def _write_meta(tmp):
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+
+    _atomic_write(os.path.join(out_dir, meta_file(analysis_name)), _write_meta)
 
 
 def load(analysis_name: str, dtype=None, in_dir: str = "."):

@@ -107,6 +107,25 @@ def ess(x: np.ndarray) -> float:
     return float(n * m / tau)
 
 
+def ess_tail(x: np.ndarray) -> float:
+    """Tail ESS (Vehtari et al. 2021, sec. 4.3): the minimum of the
+    effective sample sizes of the 5% and 95% quantile indicator draws,
+    measuring sampling efficiency in the distribution tails (the
+    reference's validation workflow reports bulk AND tail ESS,
+    bench/comparison_with_mcmctree/README.md:265-269)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    out = []
+    for q in (0.05, 0.95):
+        ind = (x <= np.quantile(x, q)).astype(np.float64)
+        if ind.std() == 0.0:
+            out.append(float(x.size))
+        else:
+            out.append(ess(ind))
+    return float(min(out))
+
+
 def summarize(samples: dict, log=print) -> dict:
     """Per-parameter mean/sd/ESS/R-hat table for ``{name: [draws, chains]}``."""
     out = {}
@@ -121,12 +140,15 @@ def summarize(samples: dict, log=print) -> dict:
             if np.any(np.isfinite(x)) else float("nan"),
             sd=float(x.std()) if finite else float("nan"),
             ess=float(x.size) if constant else (ess(x) if finite else float("nan")),
+            ess_tail=float(x.size) if constant
+            else (ess_tail(x) if finite else float("nan")),
             rhat=float("nan") if (constant or not finite or x.shape[1] < 2)
             else rhat(x),
         )
         s = out[name]
         log(
             f"{name:>24s}  mean {s['mean']:+.5g}  sd {s['sd']:.5g}  "
-            f"ESS {s['ess']:.0f}  R-hat {s['rhat']:.4f}"
+            f"ESS {s['ess']:.0f}  tail-ESS {s['ess_tail']:.0f}  "
+            f"R-hat {s['rhat']:.4f}"
         )
     return out

@@ -604,6 +604,8 @@ def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
                 P.K_SCALE_RATES_TIME_TREE_CONTRA: "rates_time",
                 P.K_SLIDE_ROOT_CONTRA: "slide_root"}
     sc_tag = {P.SC_BIRTH: "bd_scale", P.SC_DEATH: "bd_scale",
+              P.SC_BIRTH_DEATH: "bd_scale",
+              P.SC_BIRTH_DEATH_CONTRA: "bd_scale",
               P.SC_RATE_MEAN: "rate_mean", P.SC_RATE_VAR: "rate_var",
               P.SC_HEIGHT: "height"}
     aux_tab = np.asarray(table.aux)
@@ -884,11 +886,18 @@ class FastSweeps:
 
             if tag == "bd_scale":
                 u, base, logu = gamma_scale_sample(k1, sd, tune)
-                lmhg = base + logu
-                is_b = sx["aux"] == P.SC_BIRTH
+                aux_s = sx["aux"]
+                is_joint = aux_s == P.SC_BIRTH_DEATH
+                is_con = aux_s == P.SC_BIRTH_DEATH_CONTRA
+                coef = jnp.where(is_joint, 2.0, jnp.where(is_con, 0.0, 1.0))
+                lmhg = base + coef * logu
+                b_fac = jnp.where(
+                    (aux_s == P.SC_BIRTH) | is_joint | is_con, u, 1.0)
+                d_fac = jnp.where(
+                    (aux_s == P.SC_DEATH) | is_joint, u,
+                    jnp.where(is_con, 1.0 / u, 1.0))
                 bnew = batch.replace(
-                    birth=jnp.where(is_b, batch.birth * u, batch.birth),
-                    death=jnp.where(is_b, batch.death, batch.death * u),
+                    birth=batch.birth * b_fac, death=batch.death * d_fac,
                 )
                 blocks = [(0, sc_of(bnew)), (o_bd, bd_of(bnew))]
                 fields = ("birth", "death")

@@ -126,91 +126,164 @@ def _leapfrog(grad_fn, inv_mass, eps, q, p, g):
 def nuts_kernel(logp_fn, max_depth: int = MAX_DEPTH):
     """Returns ``step(key, q, eps, inv_mass) -> (q', accept_stat, n_steps)``.
 
-    Iterative multinomial NUTS: extend the trajectory one leapfrog step at a
-    time in a random direction per doubling, sample a candidate with
-    probability proportional to exp(log target + kinetic) via progressive
-    Gumbel-max, and stop on a U-turn between the trajectory end points or on
-    divergence.  The U-turn check uses the standard generalized criterion on
-    the whole trajectory span.
+    Iterative multinomial NUTS (Hoffman & Gelman 2014; progressive biased
+    sampling per Betancourt 2017), with the full binary-tree stopping rule:
+
+    - Each doubling builds a new subtree of ``2^depth`` leapfrog steps in a
+      random direction.  Within the subtree, positions/momenta of even
+      leaves are stored at power-of-two checkpoint slots (slot =
+      popcount(leaf)); when leaf ``i`` completes a sub-subtree of size
+      ``2^j`` (its ``j`` low bits are ones), the generalized U-turn
+      criterion is checked between leaf ``i`` and the stored leaf
+      ``i+1-2^j`` — every internal node of the new subtree is checked,
+      exactly as in the recursive formulation.
+    - A subtree containing a U-turn or divergence is discarded WHOLE: no
+      state from it is selectable, and the trajectory stops with the
+      previous doubling's proposal (the recursive algorithm's rejection of
+      an invalid subtree).
+    - Otherwise the subtree's multinomial candidate replaces the running
+      proposal with probability ``min(1, w_subtree / w_before)`` (biased
+      progressive sampling), the weights merge, and the full-span U-turn
+      check decides whether to extend further.
     """
     grad_fn = jax.grad(logp_fn)
 
     def step(key, q0, eps, inv_mass):
         dtype = q0.dtype
         dim = q0.shape[0]
-        k_mom, k_dir, k_acc = jax.random.split(key, 3)
+        k_mom, k_loop = jax.random.split(key)
         p0 = jax.random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
         logp0 = logp_fn(q0)
         g0 = grad_fn(q0)
         h0 = logp0 - 0.5 * jnp.sum(p0 * p0 * inv_mass)
 
-        max_steps = 2 ** max_depth
+        def uturn(dq, p_a, p_b):
+            return (jnp.dot(dq, p_a * inv_mass) < 0) | (
+                jnp.dot(dq, p_b * inv_mass) < 0
+            )
 
-        # Trajectory state: endpoints (backward/forward), proposal sample,
-        # accumulated weight, acceptance statistics.
+        # Power-of-two checkpoint buffers for the in-subtree U-turn checks.
+        q_ck0 = jnp.zeros((max_depth, dim), dtype)
+        p_ck0 = jnp.zeros((max_depth, dim), dtype)
+
         def cond(carry):
-            (_, _, _, _, _, _, _, _, _, depth, turning, diverged, *_ ) = carry
-            return (depth < max_depth) & ~turning & ~diverged
+            return (carry["depth"] < max_depth) & ~carry["stop"]
 
         def body(carry):
-            (q_minus, p_minus, g_minus, q_plus, p_plus, g_plus,
-             q_prop, log_w, sum_acc, depth, turning, diverged,
-             n_steps, key) = carry
-            key, k_dir, k_sel = jax.random.split(key, 3)
+            key, k_dir = jax.random.split(carry["key"])
             go_right = jax.random.bernoulli(k_dir)
+            sgn = jnp.where(go_right, 1.0, -1.0).astype(dtype)
+            n_sub = 2 ** carry["depth"]
 
-            n_sub = 2 ** depth
+            # The moving end of the trajectory: the subtree grows from it.
+            q_e = jnp.where(go_right, carry["q_plus"], carry["q_minus"])
+            p_e = jnp.where(go_right, carry["p_plus"], carry["p_minus"])
+            g_e = jnp.where(go_right, carry["g_plus"], carry["g_minus"])
 
             def sub_body(i, sub):
-                (q_m, p_m, g_m, q_p, p_p, g_p, q_pr, lw, s_acc,
+                (q_e, p_e, g_e, q_ck, p_ck, q_sub, lw_sub, s_acc, n_steps,
                  trn, div, key_s) = sub
+                done = trn | div
                 key_s, k_g = jax.random.split(key_s)
-                q, p, g = jax.lax.cond(
-                    go_right,
-                    lambda: _leapfrog(grad_fn, inv_mass, eps, q_p, p_p, g_p),
-                    lambda: _leapfrog(grad_fn, inv_mass, -eps, q_m, p_m, g_m),
-                )
+                q, p, g = _leapfrog(grad_fn, inv_mass, sgn * eps, q_e, p_e, g_e)
                 logp = logp_fn(q)
                 h = logp - 0.5 * jnp.sum(p * p * inv_mass)
                 dh = h - h0
-                div2 = div | (dh < -1000.0) | jnp.isnan(dh)
-                # Progressive multinomial sampling (Gumbel-max trick).
-                lw_new = jnp.logaddexp(lw, dh)
-                take = jnp.log(jax.random.uniform(k_g, dtype=dtype)) < dh - lw_new
-                q_pr = jnp.where(take & ~div2, q, q_pr)
-                s_acc = s_acc + jnp.minimum(1.0, jnp.exp(dh))
-                q_p2 = jnp.where(go_right, q, q_p)
-                p_p2 = jnp.where(go_right, p, p_p)
-                g_p2 = jnp.where(go_right, g, g_p)
-                q_m2 = jnp.where(go_right, q_m, q)
-                p_m2 = jnp.where(go_right, p_m, p)
-                g_m2 = jnp.where(go_right, g_m, g)
-                # Generalized U-turn on the full span.
-                dq = q_p2 - q_m2
-                trn2 = trn | (jnp.dot(dq, p_m2 * inv_mass) < 0) | (
-                    jnp.dot(dq, p_p2 * inv_mass) < 0
+                div_new = ~done & ((dh < -1000.0) | jnp.isnan(dh))
+                dh_s = jnp.where(jnp.isnan(dh), -jnp.inf, dh)
+                # Progressive multinomial sampling within the subtree.
+                lw_new = jnp.where(done | div_new, lw_sub,
+                                   jnp.logaddexp(lw_sub, dh_s))
+                take = (~done & ~div_new
+                        & (jnp.log(jax.random.uniform(k_g, dtype=dtype))
+                           < dh_s - lw_new))
+                q_sub = jnp.where(take, q, q_sub)
+                s_acc = s_acc + jnp.where(
+                    done, 0.0, jnp.minimum(1.0, jnp.exp(dh_s)))
+                n_steps = n_steps + jnp.where(done, 0, 1)
+                # Checkpoint stores: even leaves at slot popcount(i).
+                slot = jax.lax.population_count(i)
+                store = (i % 2 == 0) & ~done
+                q_ck = jnp.where(
+                    store,
+                    jax.lax.dynamic_update_index_in_dim(q_ck, q, slot, 0),
+                    q_ck,
                 )
-                return (q_m2, p_m2, g_m2, q_p2, p_p2, g_p2, q_pr, lw_new,
-                        s_acc, trn2, div2, key_s)
+                p_ck = jnp.where(
+                    store,
+                    jax.lax.dynamic_update_index_in_dim(p_ck, p, slot, 0),
+                    p_ck,
+                )
+                # Sub-subtree U-turn checks: leaf i completes a subtree of
+                # size 2^j iff its j low bits are all ones
+                # (t = popcount(i ^ (i+1)) - 1 trailing ones).
+                t = jax.lax.population_count(i ^ (i + 1)) - 1
+                trn_sub = jnp.asarray(False)
+                for j in range(1, max_depth + 1):
+                    live = (j <= t) & ~done & ~div_new
+                    a = i + 1 - 2 ** j
+                    slot_a = jax.lax.population_count(jnp.maximum(a, 0))
+                    q_a = jax.lax.dynamic_index_in_dim(
+                        q_ck, slot_a, 0, keepdims=False)
+                    p_a = jax.lax.dynamic_index_in_dim(
+                        p_ck, slot_a, 0, keepdims=False)
+                    trn_sub = trn_sub | (live & uturn(sgn * (q - q_a), p_a, p))
+                trn = trn | trn_sub
+                div = div | div_new
+                frz = done | div_new
+                q_e = jnp.where(frz, q_e, q)
+                p_e = jnp.where(frz, p_e, p)
+                g_e = jnp.where(frz, g_e, g)
+                return (q_e, p_e, g_e, q_ck, p_ck, q_sub, lw_new,
+                        s_acc, n_steps, trn, div, key_s)
 
-            sub0 = (q_minus, p_minus, g_minus, q_plus, p_plus, g_plus,
-                    q_prop, log_w, sum_acc, turning, diverged, key)
-            sub = jax.lax.fori_loop(0, n_sub, sub_body, sub0)
-            (q_minus, p_minus, g_minus, q_plus, p_plus, g_plus, q_prop,
-             log_w, sum_acc, turning, diverged, key) = sub
-            return (q_minus, p_minus, g_minus, q_plus, p_plus, g_plus,
-                    q_prop, log_w, sum_acc, depth + 1, turning, diverged,
-                    n_steps + n_sub, key)
+            sub0 = (q_e, p_e, g_e, q_ck0, p_ck0, q_e,
+                    jnp.asarray(-jnp.inf, dtype), carry["sum_acc"],
+                    carry["n_steps"], False, False, key)
+            (q_e, p_e, g_e, _, _, q_sub, lw_sub, sum_acc, n_steps,
+             trn_sub, div_sub, key) = jax.lax.fori_loop(0, n_sub, sub_body, sub0)
 
-        init = (q0, p0, g0, q0, p0, g0, q0,
-                jnp.asarray(0.0, dtype),  # log weight of the initial point
-                jnp.asarray(0.0, dtype), 0, False, False, 0, k_dir)
+            bad = trn_sub | div_sub
+            # Biased progressive merge: the subtree candidate replaces the
+            # running proposal with probability min(1, w_sub / w_old);
+            # a bad subtree is discarded whole.
+            key, k_m = jax.random.split(key)
+            replace = (~bad
+                       & (jnp.log(jax.random.uniform(k_m, dtype=dtype))
+                          < lw_sub - carry["log_w"]))
+            q_prop = jnp.where(replace, q_sub, carry["q_prop"])
+            log_w = jnp.where(bad, carry["log_w"],
+                              jnp.logaddexp(carry["log_w"], lw_sub))
+            # Merge endpoints (only meaningful when the subtree is kept).
+            q_plus = jnp.where(go_right & ~bad, q_e, carry["q_plus"])
+            p_plus = jnp.where(go_right & ~bad, p_e, carry["p_plus"])
+            g_plus = jnp.where(go_right & ~bad, g_e, carry["g_plus"])
+            q_minus = jnp.where(~go_right & ~bad, q_e, carry["q_minus"])
+            p_minus = jnp.where(~go_right & ~bad, p_e, carry["p_minus"])
+            g_minus = jnp.where(~go_right & ~bad, g_e, carry["g_minus"])
+            # Full-span U-turn decides whether to extend further (the
+            # merged proposal is kept either way).
+            turning = uturn(q_plus - q_minus, p_minus, p_plus)
+            return dict(
+                q_minus=q_minus, p_minus=p_minus, g_minus=g_minus,
+                q_plus=q_plus, p_plus=p_plus, g_plus=g_plus,
+                q_prop=q_prop, log_w=log_w, sum_acc=sum_acc,
+                n_steps=n_steps, depth=carry["depth"] + 1,
+                stop=bad | turning, key=key,
+            )
+
+        init = dict(
+            q_minus=q0, p_minus=p0, g_minus=g0,
+            q_plus=q0, p_plus=p0, g_plus=g0,
+            q_prop=q0, log_w=jnp.asarray(0.0, dtype),
+            sum_acc=jnp.asarray(0.0, dtype),
+            n_steps=jnp.asarray(0, jnp.int32),
+            depth=jnp.asarray(0, jnp.int32),
+            stop=jnp.asarray(False), key=k_loop,
+        )
         out = jax.lax.while_loop(cond, body, init)
-        q_prop = out[6]
-        sum_acc = out[8]
-        n_steps = out[12]
-        accept_stat = sum_acc / jnp.maximum(n_steps, 1)
-        return q_prop, accept_stat, n_steps
+        accept_stat = out["sum_acc"] / jnp.maximum(out["n_steps"], 1)
+        return out["q_prop"], accept_stat, out["n_steps"]
 
     return step
 

@@ -111,21 +111,23 @@ def run_mc3(
     inner = RunSettings(**{**settings.__dict__, "n_chains": total})
     runner = ChainRunner(model, table, inner, log=log)
     dtype = runner.dtype
-    dt_ladder = DELTA_T
+    # Per-rung ladder spacing: beta_0 = 1, beta_{k+1} = beta_k / (1 + dt_k),
+    # with each gap dt_k tuned from ITS OWN pair's swap acceptance during
+    # burn-in (the reference's ladder is static, app/Main.hs:476-479).
+    dt_ladder = np.full(N_TEMPS - 1, DELTA_T)
     if continue_from is not None:
         saved = ckpt.load_arrays(settings.analysis_name, ("mc3_dt",),
                                  in_dir=settings.out_dir)
         if "mc3_dt" in saved:
-            dt_ladder = float(saved["mc3_dt"])
+            dt_saved = np.asarray(saved["mc3_dt"])
+            dt_ladder = (np.full(N_TEMPS - 1, float(dt_saved))
+                         if dt_saved.ndim == 0 else dt_saved)
 
-    def betas_of(dt):
-        return jnp.asarray(
-            np.tile(temperature_ladder(N_TEMPS, dt), n_groups), dtype
-        )
+    def betas_of(dts):
+        ladder = np.concatenate([[1.0], 1.0 / np.cumprod(1.0 + dts)])
+        return jnp.asarray(np.tile(ladder, n_groups), dtype)
 
     betas_flat = betas_of(dt_ladder)
-    runner.beta_lik = betas_flat
-    runner.beta_prior = betas_flat
 
     if continue_from is not None:
         state0, tuning0, key0, start_it = continue_from
@@ -201,11 +203,26 @@ def run_mc3(
             table.n_proposals, out_dir=settings.out_dir, extra=mc3_meta,
             extra_arrays=arrays,
         )
+        trace = {k2: np.concatenate(v, axis=0)
+                 for k2, v in cold_draws.items() if v}
+        if trace:
+            ckpt.save_trace(settings.analysis_name, trace,
+                            out_dir=settings.out_dir)
 
     cold_idx = np.arange(n_groups) * N_TEMPS
     scalar_names = ("birth", "death", "height", "rate_mean", "rate_var",
                     "lp_post")
     cold_draws = {k: [] for k in scalar_names}
+    if continue_from is not None:
+        # Preload the saved cold-chain trace so the final diagnostics cover
+        # the whole run (the reference's Save serializes the trace with the
+        # chain, app/Main.hs:453).
+        saved_trace = ckpt.load_trace(settings.analysis_name,
+                                      in_dir=settings.out_dir)
+        for k2, arr in (saved_trace or {}).items():
+            arr = np.asarray(arr)
+            if arr.ndim == 2 and arr.shape[1] == n_groups:
+                cold_draws.setdefault(k2, []).append(arr)
     pair_acc = np.zeros(N_TEMPS - 1)
     pair_tot = np.zeros(N_TEMPS - 1)
 
@@ -215,6 +232,7 @@ def run_mc3(
         next_save = it + settings.save_period
         acc_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
         tot_sum = jnp.zeros((total, table.n_proposals), jnp.int32)
+        pair_acc0, pair_tot0 = pair_acc.copy(), pair_tot.copy()
         swap_rates = []
         astats = []
         with_nuts = nuts is not None and use_nuts
@@ -243,6 +261,11 @@ def run_mc3(
                 # R-hat ensemble: collect their scalars for diagnostics.
                 for nm in scalar_names:
                     cold_draws[nm].append(np.asarray(outs[nm])[:, cold_idx])
+                ages = np.asarray(outs["ages_diag"])[:, cold_idx]
+                for j, lbl in enumerate(runner.diag_labels):
+                    cold_draws.setdefault(f"age[{lbl}]", []).append(
+                        ages[:, :, j]
+                    )
             it += SWAP_PERIOD
             if tune_every and (it - start_it) % tune_every == 0:
                 tuning = tune_step(
@@ -261,10 +284,16 @@ def run_mc3(
             if collect_monitor and it >= next_save:
                 do_checkpoint(it)
                 next_save = it + settings.save_period
-        return float(np.mean(swap_rates)) if swap_rates else 0.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            window_pair_rates = (pair_acc - pair_acc0) / np.maximum(
+                pair_tot - pair_tot0, 1.0
+            )
+        return (float(np.mean(swap_rates)) if swap_rates else 0.0,
+                window_pair_rates)
 
+    ladder0 = np.asarray(betas_of(dt_ladder))[:N_TEMPS]
     log(f"MC3: {n_groups} groups x {N_TEMPS} temperatures "
-        f"(betas {temperature_ladder().round(3).tolist()})")
+        f"(betas {ladder0.round(3).tolist()})")
     if continue_from is None:
         log(f"burn-in: {settings.burn_in.total} iterations")
         done = 0
@@ -272,22 +301,22 @@ def run_mc3(
         for kind, windows in (("fast", settings.burn_in.fast),
                               ("slow", settings.burn_in.slow)):
             for w in windows:
-                sr = phase(w, tune_every=w, collect_monitor=False,
-                           start_it=done, use_nuts=(kind == "slow"))
+                sr, pr = phase(w, tune_every=w, collect_monitor=False,
+                               start_it=done, use_nuts=(kind == "slow"))
                 done += w
-                # Temperature-ladder auto-tuning: widen dt when swaps are
-                # too easy, shrink when they stall (target acceptance
-                # ~0.3; betas are traced arguments, so retuning never
-                # recompiles).  The reference's ladder is static
-                # (MC3Settings, app/Main.hs:476-479).
-                dt_ladder = float(np.clip(
-                    dt_ladder * np.exp(0.5 * (sr - SWAP_TARGET)),
+                # Temperature-ladder auto-tuning, PER RUNG: each gap dt_k
+                # widens when its own pair swaps too easily and shrinks
+                # when it stalls (target ~0.3; betas are traced arguments,
+                # so retuning never recompiles).  The reference's ladder
+                # is static (MC3Settings, app/Main.hs:476-479).
+                dt_ladder = np.clip(
+                    dt_ladder * np.exp(0.5 * (pr - SWAP_TARGET)),
                     0.01, 2.0,
-                ))
+                )
                 betas_flat = betas_of(dt_ladder)
                 log(f"burn-in [{kind}] window {w}: "
                     f"{done}/{settings.burn_in.total}, swap rate {sr:.2f}, "
-                    f"dt {dt_ladder:.3f}")
+                    f"dt {np.round(dt_ladder, 3).tolist()}")
         if nuts is not None:
             nuts.finalize_adaptation()
             im = np.asarray(nuts.inv_mass)
@@ -295,8 +324,8 @@ def run_mc3(
                 f"inv_mass [{im.min():.3g}, {im.max():.3g}]")
     else:
         log(f"Continuing MC3 from iteration {start_it}.")
-    sr = phase(settings.iterations, tune_every=0, collect_monitor=True,
-               start_it=start_it)
+    sr, _ = phase(settings.iterations, tune_every=0, collect_monitor=True,
+                  start_it=start_it)
     with np.errstate(invalid="ignore", divide="ignore"):
         rates = pair_acc / np.maximum(pair_tot, 1.0)
     pairs = " ".join(

@@ -52,8 +52,14 @@ K_SLIDE_BRACED_ULTRA = 15
 K_SLIDE_BRACED_CONTRA = 16
 N_KINDS = 17
 
-# aux codes for K_SCALE_SCALAR.
-SC_BIRTH, SC_DEATH, SC_RATE_MEAN, SC_RATE_VAR, SC_HEIGHT = range(5)
+# aux codes for K_SCALE_SCALAR.  The last two are TPU-side extras with no
+# reference analog: joint moves along the two principal directions of the
+# weakly-identified (birth, death) pair (the reference only moves each rate
+# alone, app/Definitions.hs:259-260, which mixes the near-flat ridge of the
+# birth-death posterior with a tiny effective step; a joint ray scale
+# (b,d) -> (ub, ud) and its contrary (ub, d/u) traverse the ridge directly).
+(SC_BIRTH, SC_DEATH, SC_RATE_MEAN, SC_RATE_VAR, SC_HEIGHT,
+ SC_BIRTH_DEATH, SC_BIRTH_DEATH_CONTRA) = range(7)
 
 # Likelihood-update classes (static per proposal row).  The whitened
 # residual y = (d - mu) @ L is updated incrementally:
@@ -217,6 +223,11 @@ def build_proposal_table(
         DC_INV, pclass=PC_SC_BD)
     add(K_SCALE_SCALAR, -1, SC_DEATH, 10.0, w_nb, 1, False, "Time death rate",
         DC_INV, pclass=PC_SC_BD)
+    # Joint (birth, death) ridge moves (see the SC_* comment above).
+    add(K_SCALE_SCALAR, -1, SC_BIRTH_DEATH, 10.0, w_nb, 2, False,
+        "Time birth and death rates", DC_INV, pclass=PC_SC_BD)
+    add(K_SCALE_SCALAR, -1, SC_BIRTH_DEATH_CONTRA, 10.0, w_nb, 2, False,
+        "Time birth and death rates (contrary)", DC_INV, pclass=PC_SC_BD)
     add(K_SCALE_SCALAR, -1, SC_RATE_MEAN, 10.0, w_nb, 1, False, "Rate mean",
         DC_FULL, pclass=PC_SC)
     add(K_SCALE_SCALAR, -1, SC_RATE_VAR, 10.0, w_nb, 1, False, "Rate variance",
@@ -376,10 +387,20 @@ def _subtree_mask(topo, i, proper=False):
 
 def _k_scale_scalar(state, key, tune, node, aux, par, topo):
     u, base, logu = gamma_scale_sample(key, par, tune)
-    log_mhg = base + logu  # exponent 1 - 2 (scaleUnbiased)
+    # n_up - n_down coordinates scaled by u: 1 for the single-scalar moves,
+    # 2 for the joint (birth, death) ray, 0 for its contrary variant.
+    coef = jnp.where(aux == SC_BIRTH_DEATH, 2.0,
+                     jnp.where(aux == SC_BIRTH_DEATH_CONTRA, 0.0, 1.0))
+    log_mhg = base + coef * logu
+    b_fac = jnp.where(
+        (aux == SC_BIRTH) | (aux == SC_BIRTH_DEATH)
+        | (aux == SC_BIRTH_DEATH_CONTRA), u, 1.0)
+    d_fac = jnp.where(
+        (aux == SC_DEATH) | (aux == SC_BIRTH_DEATH), u,
+        jnp.where(aux == SC_BIRTH_DEATH_CONTRA, 1.0 / u, 1.0))
     new = state.replace(
-        birth=jnp.where(aux == SC_BIRTH, state.birth * u, state.birth),
-        death=jnp.where(aux == SC_DEATH, state.death * u, state.death),
+        birth=state.birth * b_fac,
+        death=state.death * d_fac,
         rate_mean=jnp.where(aux == SC_RATE_MEAN, state.rate_mean * u, state.rate_mean),
         rate_var=jnp.where(aux == SC_RATE_VAR, state.rate_var * u, state.rate_var),
         height=jnp.where(aux == SC_HEIGHT, state.height * u, state.height),

@@ -14,6 +14,17 @@ so points concentrate near the prior.  The estimator telescopes
     log Z = sum_k log (1/n) sum_iters exp((beta_{k+1} - beta_k) * loglik_k)
 
 computed stably with log-sum-exp per point.
+
+The reference additionally ANNEALS along the path — each stone starts from
+the previous stone's state (app/Main.hs:525-543, Definitions.hs:447-472).
+With all stones in flight that sequential dependency is reproduced by a
+short cascade before the parallel burn-in: stone k+1's chain is re-seeded
+from stone k's state after a few sweeps at each rung (``annealed_init``,
+default on).  On a posterior whose beta~1 basin is only reachable by
+annealing, naive parallel burn-in converges to the wrong stone
+distributions with no warning; the cascade restores the reference's
+initialization semantics at ~(K-1) * ``CASCADE_SWEEPS`` extra sweeps
+(seconds at the tutorial scale — wall-clock is effectively unchanged).
 """
 
 from __future__ import annotations
@@ -35,6 +46,7 @@ N_POINTS = 128
 N_POINTS_PROF = 12
 ITERATIONS_ML = 4000
 ALPHA = 0.3
+CASCADE_SWEEPS = 3  # sweeps per rung in the annealed-init cascade
 
 REPETITIVE_BURN_IN = BurnInSettings([20, 40, 60, 80], [100] * 6)
 REPETITIVE_BURN_IN_PROF = BurnInSettings([10, 20], [30, 40])
@@ -58,6 +70,7 @@ def run_marginal_likelihood(
     *,
     profile: bool = False,
     hamiltonian: bool = False,
+    annealed_init: bool = True,
     log=print,
 ) -> MarginalLikelihoodResult:
     table = props.build_proposal_table(
@@ -108,6 +121,28 @@ def run_marginal_likelihood(
     chunk_plain = jax.jit(
         lambda b, tu, k: kern.sweeps(b, tu, k, CHUNK, beta=betas)
     )
+
+    if annealed_init and n_points > 1:
+        # Annealed-init cascade (Main.hs:525-543 semantics): after a few
+        # sweeps, stone k+1's chain is re-seeded from stone k's state, so
+        # every stone starts from a state reached by annealing up the beta
+        # path rather than from the naive init.  All stones keep sweeping
+        # at their own beta throughout (the extra sweeps on already-seeded
+        # stones are free burn-in).
+        import time as _time
+
+        t0 = _time.time()
+        casc = jax.jit(
+            lambda b, tu, k, j: jax.tree.map(
+                lambda x: x.at[j + 1].set(x[j]),
+                kern.sweeps(b, tu, k, CASCADE_SWEEPS, beta=betas)[0],
+            )
+        )
+        for j in range(n_points - 1):
+            key, k = jax.random.split(key)
+            batch = casc(batch, tuning, k, j)
+        log(f"annealed-init cascade: {n_points - 1} rungs x "
+            f"{CASCADE_SWEEPS} sweeps in {_time.time() - t0:.1f}s")
 
     targets = jnp.asarray(table.target_rates(), dtype)
     burn = (REPETITIVE_BURN_IN_PROF if profile else REPETITIVE_BURN_IN)

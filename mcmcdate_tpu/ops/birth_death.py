@@ -31,21 +31,37 @@ def _de_factors(la, mu, c, dt):
     d = la - mu
     near = jnp.abs(d) < EPS_NEAR_CRITICAL
 
-    # Standard formula; protect the near-critical branch from producing NaNs
-    # that would poison gradients (double-where trick).
-    x = jnp.exp(-d * dt)
-    y = (mu - c * la) * x
+    # Standard formula, evaluated in a SCALED form: the textbook expression
+    # computes ``x = exp(-d dt)`` in linear space, which overflows f32 when
+    # ``mu >> la`` (|d| dt > 88 makes d^2 x = +inf, so the log-density term
+    # turns +inf — an ABSORBING state for the sampler, since +inf beats any
+    # finite proposal).  Dividing numerator and denominator by x when d < 0
+    # keeps every intermediate bounded by O(la + mu):
+    #
+    #   log D = 2 log|d| - |d| dt - 2 log|P + Q|,
+    #   E     = (R + Q) / (P + Q),            with  z = exp(-|d| dt) <= 1,
+    #   d > 0:  P = la (c-1),      Q = (mu - c la) z,  R = mu (c-1)
+    #   d < 0:  P = la (c-1) z,    Q = (mu - c la),    R = mu (c-1) z
+    #
+    # The near-critical branch is protected from NaNs by the double-where
+    # trick, as before.
     c1 = c - 1.0
-    nom_d = d * d * x
-    nom_e = mu * c1 + y
-    denom = la * c1 + y
+    t_pos = jnp.abs(d) * dt
+    z = jnp.exp(-t_pos)
+    pos = d > 0
+    p = jnp.where(pos, la * c1, la * c1 * z)
+    q = jnp.where(pos, (mu - c * la) * z, mu - c * la)
+    r = jnp.where(pos, mu * c1, mu * c1 * z)
+    denom = p + q
     denom_safe = jnp.where(denom == 0, 1.0, denom)
+    d_safe = jnp.where(d == 0, 1.0, d)
     log_d_std = jnp.where(
-        (nom_d > 0) & (denom != 0),
-        jnp.log(jnp.where(nom_d > 0, nom_d, 1.0)) - 2.0 * jnp.log(jnp.abs(denom_safe)),
+        denom != 0,
+        2.0 * jnp.log(jnp.abs(d_safe)) - t_pos
+        - 2.0 * jnp.log(jnp.abs(denom_safe)),
         -jnp.inf,
     )
-    e_std = nom_e / denom_safe
+    e_std = (r + q) / denom_safe
 
     # Near-critical series (computeDENearCritical, BirthDeath.hs:104-113).
     y_nc = (mu - c * la) * dt
@@ -89,6 +105,10 @@ def birth_death_terms(heights, parent, is_leaf, la, mu, rho):
     log_boundary = jnp.where(is_leaf, jnp.log(rho), jnp.log(la))
     non_root = parent >= 0
     per_node = jnp.where(non_root, log_d + log_boundary, 0.0)
+    # A +inf log-density term is always a numerical artifact (the density
+    # is finite for valid parameters) and would act as an ABSORBING state
+    # in the sampler's term-delta acceptance; map it to a rejection.
+    per_node = jnp.where(per_node == jnp.inf, -jnp.inf, per_node)
     valid = (la >= 0) & (mu >= 0) & (rho > 0) & (rho <= 1)
     vterm = jnp.where(valid, 0.0, -jnp.inf)
     return jnp.concatenate([per_node, vterm[None]])

@@ -17,6 +17,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -220,3 +222,31 @@ assert np.abs(lp_direct - np.asarray(lpf)).max() < 0.05
 print("OK calibrated", err.max())
 """)
     assert "OK calibrated" in out
+
+
+@pytest.mark.fast_guard
+def test_fast_lp_drift_quick():
+    """Minutes-scale guardrail (VERDICT r3 item 10): the batched sweep's
+    carried log posterior must match a direct recomputation after many
+    sweeps on a full-MVN model.  Any bookkeeping error in the z/q carry,
+    the mega-step cross-term corrections, or a new proposal family's
+    closed-form delta accumulates here; this runs in ~1 minute where the
+    full batched-vs-sequential suite takes ~15."""
+    out = _run_child(COMMON + """
+model, table, batch, tuning, topo = build(8, "full", seed=7)
+fast = FastSweeps(model, table)
+assert fast.plan.specs, "nothing batched"
+run = jax.jit(lambda b, tu, k2: fast.sweeps(b, tu, k2, 20))
+key = jax.random.PRNGKey(3)
+b = batch
+for it in range(6):
+    key, k1 = jax.random.split(key)
+    b, lp, ll, acc, tot, _ = run(b, tuning, k1)
+lp_direct = np.asarray(jax.vmap(model.log_posterior)(b))
+drift = np.abs(lp_direct - np.asarray(lp + ll)).max()
+assert drift < 0.05, drift
+a = np.asarray(acc).sum() / np.asarray(tot).sum()
+assert 0.02 < a < 0.995, a
+print("OK quick drift", drift)
+""", timeout=600)
+    assert "OK quick drift" in out

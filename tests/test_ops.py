@@ -148,6 +148,27 @@ def test_birth_death_near_critical():
     assert a == pytest.approx(b, rel=1e-3)
 
 
+def test_birth_death_extreme_rates_no_overflow_f32():
+    """mu >> la in f32: the textbook D/E evaluation overflows (exp(|d| dt)
+    -> inf, so a log-density TERM turns +inf — an absorbing state for the
+    sampler).  The scaled evaluation must stay finite-or-(-inf) and match
+    f64 (round-4 regression; found live by a CLI drive whose chains froze
+    at lp = +inf after a joint birth-death scale walked death to ~86)."""
+    t, topo, hs = _heights_topo(REVBAYES_TREE)
+    hs32 = jnp.asarray(np.asarray(hs), jnp.float32)
+    parent = jnp.asarray(topo.parent)
+    leaf = jnp.asarray(topo.is_leaf)
+    for mu in (50.0, 86.0, 300.0, 1e4):
+        terms32 = np.asarray(birth_death.birth_death_terms(
+            hs32, parent, leaf, jnp.float32(2.0), jnp.float32(mu), 1.0))
+        assert not np.any(terms32 == np.inf), (mu, terms32)
+        lp32 = float(birth_death.birth_death_log(
+            hs32, parent, leaf, jnp.float32(2.0), jnp.float32(mu), 1.0))
+        lp64 = _bd_vec(topo, hs, 2.0, mu, 1.0)
+        assert np.isfinite(lp32)
+        assert lp32 == pytest.approx(lp64, rel=1e-4), (mu, lp32, lp64)
+
+
 def test_birth_death_invalid():
     t, topo, hs = _heights_topo(REVBAYES_TREE)
     assert _bd_vec(topo, hs, -1.0, 0.5, 1.0) == -np.inf

@@ -138,7 +138,7 @@ def test_mc3_cold_chain_marginals():
     for w in range(30):
         key, k1, k2 = jax.random.split(key, 3)
         batch, _, _, acc, tot, _ = chunk(batch, tuning, k1)
-        batch, sr, _, _ = swap_fn(batch, k2)
+        batch, sr, _, _ = swap_fn(batch, k2, betas[:n_temps])
         srates.append(float(sr))
         tuning = mh.tune_step(
             tuning, acc.astype(jnp.float32), tot.astype(jnp.float32),
@@ -149,7 +149,7 @@ def test_mc3_cold_chain_marginals():
     for w in range(120):
         key, k1, k2 = jax.random.split(key, 3)
         batch, _, _, acc, tot, outs = chunk(batch, tuning, k1)
-        batch, sr, _, _ = swap_fn(batch, k2)
+        batch, sr, _, _ = swap_fn(batch, k2, betas[:n_temps])
         hx.append(np.asarray(outs["hx"])[:, cold])
         births.append(np.asarray(outs["birth"])[:, cold])
     hx = np.concatenate(hx, axis=0)

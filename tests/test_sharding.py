@@ -14,6 +14,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -101,3 +103,28 @@ assert os.path.exists(os.path.join(d, "shmc3.params.monitor"))
 print("MC3_SHARDED_OK")
 """)
     assert "MC3_SHARDED_OK" in out
+
+
+@pytest.mark.fast_guard
+def test_sharded_sweep_quick():
+    """Minutes-scale guardrail (VERDICT r3 item 10): one jitted production
+    sweep chunk over the 8-device mesh — the batch stays sharded across all
+    devices and the carried log prior is finite.  The full e2e tests above
+    drive run_analysis/run_mc3 end to end but take >10 min cold."""
+    out = _run_child(COMMON + """
+from mcmcdate_tpu.engine import proposals as P
+from mcmcdate_tpu.engine.chains import ChainRunner, RunSettings
+
+table = P.build_proposal_table(topo, model.braces, False)
+s = RunSettings(analysis_name="q", n_chains=16, out_dir="/tmp", seed=0)
+runner = ChainRunner(model, table, s, log=print)
+assert runner.mesh is not None, "mesh not created on 8 devices"
+batch, tuning = runner.init_chains(init)
+batch, tuning = runner.maybe_shard(batch, tuning)
+fn = runner.chunk_fn(collect=False)
+b2, lp, ll, acc, tot, _ = fn(batch, tuning, jax.random.PRNGKey(0))
+assert np.all(np.isfinite(np.asarray(lp))), np.asarray(lp)
+assert len(b2.heights.sharding.device_set) == 8, b2.heights.sharding
+print("SHARD_QUICK_OK")
+""", timeout=600)
+    assert "SHARD_QUICK_OK" in out

@@ -55,8 +55,9 @@ def main():
         s.rows.shape[0] * s.own.shape[1] * s.own.shape[2]
         for s in plan.range_specs.values()
     )
+    occ = f"{rows_used / rows_grid:.2f}" if rows_grid else "n/a (0 blocks)"
     print(f"geometry {RANGE_BUCKETS}: {nblk} blocks, {n_tickets} tickets, "
-          f"occupancy {rows_used}/{rows_grid} = {rows_used / rows_grid:.2f}",
+          f"occupancy {rows_used}/{rows_grid} = {occ}",
           flush=True)
 
     run = jax.jit(lambda b, tu, k: fast.sweeps(b, tu, k, NSWEEPS))
