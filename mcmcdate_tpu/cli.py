@@ -22,7 +22,6 @@ def _parse_likelihood_spec(s: str) -> Tuple[str, float]:
 
     parts = s.strip().split()
     head = parts[0].lower()
-    rho = float(parts[1]) if len(parts) > 1 else 0.1
     table = {
         "fullmultivariatenormal": mvn.FULL,
         "full": mvn.FULL,
@@ -30,6 +29,11 @@ def _parse_likelihood_spec(s: str) -> Tuple[str, float]:
         "sparsemultivariatenormal": mvn.SPARSE,
         "sparse": mvn.SPARSE,
         "s": mvn.SPARSE,
+        # TPU-native block-banded precision (ops/banded.py) — the scaling
+        # replacement for the reference's sparse kind; the parameter is
+        # the bandwidth (default 128), not a lasso penalty.
+        "banded": mvn.BANDED,
+        "b": mvn.BANDED,
         "univariatenormal": mvn.UNIVARIATE,
         "univariate": mvn.UNIVARIATE,
         "u": mvn.UNIVARIATE,
@@ -39,7 +43,10 @@ def _parse_likelihood_spec(s: str) -> Tuple[str, float]:
     }
     if head not in table:
         raise SystemExit(f"Unknown likelihood spec: {s!r}")
-    return table[head], rho
+    kind = table[head]
+    default = 128.0 if kind == mvn.BANDED else 0.1
+    rho = float(parts[1]) if len(parts) > 1 else default
+    return kind, rho
 
 
 def _parse_clock(s: str) -> str:
@@ -139,9 +146,10 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--hamiltonian", action="store_true",
                    help="add the NUTS proposal to the cycle")
     p.add_argument("--likelihood-spec", metavar="SPEC",
-                   help="full | sparse RHO | univariate | none (reference "
-                        "constructor spellings and f/s/u/n codes accepted); "
-                        "required unless set by --analysis-conf")
+                   help="full | sparse RHO | banded W | univariate | none "
+                        "(reference constructor spellings and f/s/b/u/n "
+                        "codes accepted); required unless set by "
+                        "--analysis-conf")
     p.add_argument("--relaxed-molecular-clock", metavar="MODEL",
                    help="default UncorrelatedGamma; ug/ul/uw/al codes "
                         "accepted (scripts/run:112-123)")
@@ -333,6 +341,7 @@ def cmd_prepare(args):
             args.trees,
             spec,
             sparse_rho=rho,
+            banded_w=int(rho),
             out_dir=args.out_dir,
             log=log,
         )

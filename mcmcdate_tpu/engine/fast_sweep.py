@@ -74,6 +74,7 @@ import numpy as np
 
 from ..models.dating import DatingModel
 from ..models.state import State
+from ..ops import banded as banded_mod
 from ..ops import birth_death as BD
 from ..ops import clocks as CK
 from ..ops import mvn as mvn_mod
@@ -698,7 +699,8 @@ class FastSweeps:
     """Drop-in alternative to ``MHKernel.sweeps`` using the batched plan.
 
     The interface matches ``MHKernel.sweeps``; NUTS piggy-backs identically.
-    Usable with the FULL/SPARSE (dense precision), NONE, and — up to
+    Usable with the FULL/SPARSE (dense precision), BANDED (block-banded
+    precision, ops/banded.py — the O(D w) scaling kind), NONE, and — up to
     ``UNIVARIATE_DENSE_MAX`` dims — UNIVARIATE likelihood kinds.  The
     diagonal kind rides the dense machinery with ``P = diag(1/var)`` and
     ``L = diag(1/sd)``: the sweep cost on this platform is per-HLO ticket
@@ -715,6 +717,8 @@ class FastSweeps:
         self.plan = plan_batches(model, table)
         self.seq_kern = MHKernel(model, self.plan.seq_table)
         self.use_lik = model.likelihood.kind != mvn_mod.NONE
+        self.banded = False
+        self._dim = model.likelihood.dim
         if model.likelihood.kind == mvn_mod.UNIVARIATE:
             if model.likelihood.dim > UNIVARIATE_DENSE_MAX:
                 raise ValueError(
@@ -726,6 +730,20 @@ class FastSweeps:
             inv_sd = np.asarray(model.inv_sd_internal, np.float64)
             self._prec_int = np.diag(inv_sd * inv_sd)
             self._chol_int = np.diag(inv_sd)
+        elif model.likelihood.kind == mvn_mod.BANDED:
+            # Block-banded precision (ops/banded.py): every dense-P site
+            # below rides three batched block matmuls instead of a [D, D]
+            # stream — O(D w) memory/traffic, the scaling kind past the
+            # dense ceiling documented in PERF.md.
+            self.banded = True
+            self._L3_int = model.band_L3_internal
+            self._pband_int = banded_mod.pband_from_chol_upper(
+                model.likelihood.band_chol
+            )
+            wb = self._L3_int.shape[-1]
+            self._P3_int = banded_mod.blocks_from_sym_band(
+                self._pband_int, wb
+            )
         elif self.use_lik:
             perm = model.topo.ref_to_internal_perm
             self._prec_int = model.likelihood.precision[np.ix_(perm, perm)]
@@ -736,7 +754,12 @@ class FastSweeps:
             # d' = u d,  z' = u z + (u-1) P mu  and
             # dq = (u^2-1) q + 2u(u-1) mu'z + (u-1)^2 mu'P mu.
             mu64 = np.asarray(model.mu_internal, np.float64)
-            self._Pmu_int = np.asarray(self._prec_int, np.float64) @ mu64
+            if self.banded:
+                self._Pmu_int = banded_mod.sym_band_matvec(
+                    self._pband_int, mu64
+                )
+            else:
+                self._Pmu_int = np.asarray(self._prec_int, np.float64) @ mu64
             self._mPm_int = float(mu64 @ self._Pmu_int)
         self._const_cache = {}
 
@@ -757,6 +780,10 @@ class FastSweeps:
                     out = jnp.asarray(self._prec_int, dtype)
                 elif name == "chol":
                     out = jnp.asarray(self._chol_int, dtype)
+                elif name == "P3":
+                    out = jnp.asarray(self._P3_int, dtype)
+                elif name == "L3":
+                    out = jnp.asarray(self._L3_int, dtype)
                 elif name == "mu":
                     out = jnp.asarray(self.model.mu_internal, dtype)
                 elif name == "Pmu":
@@ -766,23 +793,52 @@ class FastSweeps:
             self._const_cache[key] = out
         return out
 
+    # -- precision/Cholesky right-multiplications -----------------------
+    #
+    # Every P/L consumer below goes through these three, so the dense and
+    # block-banded representations share all downstream exactness
+    # machinery (one-hot row selectors, cross-term corrections,
+    # add-form write-backs) unchanged.
+
+    def _x_P(self, X, dtype):
+        """``X @ P_internal`` for ``[..., D]`` X."""
+        if self.banded:
+            return banded_mod.block_tridiag_matmul(
+                X, self._const("P3", dtype), self._dim
+            )
+        return X @ self._const("prec", dtype)
+
+    def _x_L(self, X, dtype):
+        """``X @ L`` with ``P_internal = L L'``."""
+        if self.banded:
+            return banded_mod.block_tridiag_matmul(
+                X, self._const("L3", dtype), self._dim
+            )
+        return X @ self._const("chol", dtype)
+
+    def _x_Lt(self, X, dtype):
+        """``X @ L.T``."""
+        if self.banded:
+            return banded_mod.block_tridiag_matmul_t(
+                X, self._const("L3", dtype), self._dim
+            )
+        return X @ self._const("chol", dtype).T
+
     # -- carried-quantity conversions ----------------------------------
 
     def _zq_from_y(self, y, dtype):
         if not self.use_lik:
             C = y.shape[0]
             return jnp.zeros((C, 0), dtype), jnp.zeros((C,), dtype)
-        L = self._const("chol", dtype)
-        z = y @ L.T
+        z = self._x_Lt(y, dtype)
         q = jnp.sum(y * y, axis=-1)
         return z, q
 
     def _y_from_d(self, d, dtype):
         if not self.use_lik:
             return jnp.zeros((d.shape[0], 0), dtype)
-        L = self._const("chol", dtype)
         mu = self._const("mu", dtype)
-        return (d - mu) @ L
+        return self._x_L(d - mu, dtype)
 
     # -- global-move family scans (round 3) -------------------------------
 
@@ -818,7 +874,6 @@ class FastSweeps:
         child_list = [int(c) for c in topo.children[0] if c >= 0]
         n_inner_total = int((~np.asarray(topo.is_leaf)).sum())
         if use_lik:
-            Pm = self._const("prec", dtype)
             Pmu = self._const("Pmu", dtype)
             mPm = jnp.asarray(self._mPm_int, dtype)
             mu_int = self._const("mu", dtype)
@@ -866,7 +921,7 @@ class FastSweeps:
             if not use_lik:
                 return d_new, z, q, jnp.zeros_like(q)
             delta = d_new - d
-            w = delta @ Pm
+            w = self._x_P(delta, dtype)
             dq = jnp.sum(delta * (2.0 * z + w), axis=-1)
             return d_new, z + w, q + dq, dq
 
@@ -1235,7 +1290,6 @@ class FastSweeps:
         kt = spec.t_rows.shape[-1]
         B = spec.b
         n_sub = (B + SUB - 1) // SUB
-        Pm = self._const("prec", dtype) if use_lik else None
         topo = self.model.topo
         is_leaf = jnp.asarray(topo.is_leaf)
 
@@ -1260,7 +1314,7 @@ class FastSweeps:
                 # One-hot selector over the step's B*KD touched distance
                 # rows (pad slots -> all-zero rows): every P/z/d row access
                 # below rides the MXU instead of a flat-cost gather.
-                D = Pm.shape[0]
+                D = self._dim
                 d_flat = d_safe.reshape(-1)
                 iota_d = jax.lax.broadcasted_iota(jnp.int32, (B * kd, D), 1)
                 OHB = ((d_flat[:, None] == iota_d)
@@ -1379,7 +1433,7 @@ class FastSweeps:
                 # zG = the gathered z view — updated INCREMENTALLY between
                 # sub-blocks through Pblk so z itself is touched only once
                 # at the end (add-form scatter of all accepted deltas).
-                Prow = OHB @ Pm                                # [B*KD, D]
+                Prow = self._x_P(OHB, dtype)                   # [B*KD, D]
                 Pblk = Prow @ OHB.T                            # [B*KD, B*KD]
                 Pblk4 = Pblk.reshape(B, kd, B, kd)
                 zG = z @ OHB.T                                 # [C, B*KD]
@@ -1593,7 +1647,6 @@ class FastSweeps:
         use_lik = self.use_lik
         is_leaf = jnp.asarray(topo.is_leaf)
         pos = jnp.asarray(np.asarray(topo.internal_pos))
-        Pm = self._const("prec", dtype) if use_lik else None
         nspec = {
             f.name: jnp.asarray(getattr(spec, f.name))
             for f in dataclasses.fields(spec) if f.name != "kind"
@@ -1623,7 +1676,7 @@ class FastSweeps:
             hpar_own = hT[jnp.clip(own_par, min=0)]
             d_own = jnp.where(own_okb, pos[own_s], 0)   # [S, RB]
             if use_lik:
-                D = Pm.shape[0]
+                D = self._dim
                 d_flat0 = d_own.reshape(-1)
                 iota_d0 = jax.lax.broadcasted_iota(
                     jnp.int32, (S_n * rb, D), 1
@@ -1726,7 +1779,7 @@ class FastSweeps:
                 OHD = OHD0
                 zg = (OHD @ zT).reshape(S_n, rb, C)
                 v = jnp.sum(g * zg, axis=1)             # [S, C]
-                Prow = OHD @ Pm                          # [S*rb, D]
+                Prow = self._x_P(OHD, dtype)             # [S*rb, D]
                 Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
                 # G[a, b, c] = g_a' P g_b per chain; the diagonal is the
                 # self term gamma_b = g_b' P g_b.

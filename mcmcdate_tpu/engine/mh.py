@@ -62,12 +62,20 @@ class MHKernel:
 
         use_lik = self.model.likelihood.kind != mvn_mod.NONE
         diag_lik = self.model.likelihood.kind == mvn_mod.UNIVARIATE
+        band_lik = self.model.likelihood.kind == mvn_mod.BANDED
         if use_lik:
             D = self.model.likelihood.dim
             PAD = 1025
             mu_int = jnp.asarray(self.model.mu_internal, dtype)
             if diag_lik:
                 inv_sd = jnp.asarray(self.model.inv_sd_internal, dtype)
+            elif band_lik:
+                # Banded L: a full O(D w) block-banded recompute is cheaper
+                # than gather-based incremental classes (ops/banded.py),
+                # so every likelihood class collapses to one expression.
+                from ..ops import banded as banded_mod
+
+                L3 = jnp.asarray(self.model.band_L3_internal, dtype)
             else:
                 L = jnp.asarray(self.model.chol_internal, dtype)
                 L_pad = jnp.concatenate([L, jnp.zeros((PAD, D), dtype)], axis=0)
@@ -132,6 +140,9 @@ class MHKernel:
                     # ``delta`` is already zero outside touched entries, so
                     # every likelihood class collapses to one expression.
                     dy = delta * inv_sd
+                    d_new = d2
+                elif band_lik:
+                    dy = banded_mod.block_tridiag_matmul(delta, L3, D)
                     d_new = d2
                 else:
                     C = delta.shape[0]

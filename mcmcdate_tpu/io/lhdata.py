@@ -43,6 +43,18 @@ def save_data(path: str, data: mvn.LikelihoodData) -> None:
                 data.log_det_sigma,
             ],
         }
+    elif data.kind == mvn.BANDED:
+        # TPU extension (no reference analog): the upper Cholesky band in
+        # the internal pre-order layout plus the permutation reaching it.
+        obj = {
+            "tag": "BandedS",
+            "contents": [
+                data.mu.tolist(),
+                data.band_chol.tolist(),
+                data.log_det_sigma,
+                np.asarray(data.band_perm).tolist(),
+            ],
+        }
     elif data.kind == mvn.UNIVARIATE:
         obj = {
             "tag": "UnivariateS",
@@ -74,6 +86,11 @@ def load_data(path: str) -> mvn.LikelihoodData:
             prec[i, j] = v
             pairs.append(((i, j), v))
         return mvn.LikelihoodData.sparse(mu, prec, log_det, assoc=pairs)
+    if tag == "BandedS":
+        mu, band, log_det, perm = contents
+        return mvn.LikelihoodData.banded(
+            np.asarray(mu), np.asarray(band), log_det, np.asarray(perm)
+        )
     if tag == "UnivariateS":
         mu, vs = contents
         return mvn.LikelihoodData.univariate(np.asarray(mu), np.asarray(vs))

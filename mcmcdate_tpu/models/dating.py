@@ -170,11 +170,33 @@ class DatingModel:
         model is diagonal and must never materialize an O(N^2) matrix
         (the reference evaluates it in O(N), Probability.hs:186-193); use
         :attr:`inv_sd_internal` instead."""
-        if self.likelihood.kind in (mvn.NONE, mvn.UNIVARIATE):
+        if self.likelihood.kind in (mvn.NONE, mvn.UNIVARIATE, mvn.BANDED):
             return None
         perm = self.topo.ref_to_internal_perm
         prec = self.likelihood.precision[np.ix_(perm, perm)]
         return np.linalg.cholesky(prec)
+
+    @cached_property
+    def band_L3_internal(self) -> Optional[np.ndarray]:
+        """Banded kind: block-tridiagonal form of the upper-banded ``L``
+        (``P_internal = L L'``), shared by the sweep kernels and the
+        whitened-residual paths.  The band is estimated in the internal
+        layout at prepare time (ops/banded.py); assert the stored
+        permutation matches this topology's."""
+        if self.likelihood.kind != mvn.BANDED:
+            return None
+        from ..ops import banded as banded_mod
+
+        stored = np.asarray(self.likelihood.band_perm)
+        if not np.array_equal(stored, self.topo.ref_to_internal_perm):
+            raise ValueError(
+                "banded likelihood data was prepared for a different "
+                "topology (internal permutation mismatch)"
+            )
+        wb = banded_mod.default_block_size(int(self.likelihood.bandwidth))
+        return banded_mod.blocks_from_upper_band(
+            self.likelihood.band_chol, wb
+        )
 
     @cached_property
     def inv_sd_internal(self) -> Optional[np.ndarray]:
@@ -195,6 +217,13 @@ class DatingModel:
         mu = jnp.asarray(self.mu_internal, dtype)
         if self.likelihood.kind == mvn.UNIVARIATE:
             return (d - mu) * jnp.asarray(self.inv_sd_internal, dtype)
+        if self.likelihood.kind == mvn.BANDED:
+            from ..ops import banded as banded_mod
+
+            return banded_mod.block_tridiag_matmul(
+                d - mu, jnp.asarray(self.band_L3_internal, dtype),
+                self.likelihood.dim,
+            )
         return (d - mu) @ jnp.asarray(self.chol_internal, dtype)
 
     def whitened_residual(self, state: State):
@@ -209,6 +238,10 @@ class DatingModel:
         dtype = state.heights.dtype
         if self.likelihood.kind == mvn.NONE:
             return jnp.zeros(0, dtype)
+        if self.likelihood.kind == mvn.BANDED:
+            # The band only exists in the internal layout; the internal
+            # residual has the same norm (permutation-invariant quad form).
+            return self.whitened_residual_internal(state)
         d = H.distances_from_state(state, self.topo)
         mu = jnp.asarray(self.likelihood.mu, dtype)
         if self.likelihood.kind == mvn.UNIVARIATE:

@@ -27,6 +27,7 @@ from .dists import LN_SQRT_2PI
 
 FULL = "full"
 SPARSE = "sparse"
+BANDED = "banded"
 UNIVARIATE = "univariate"
 NONE = "none"
 
@@ -50,6 +51,14 @@ class LikelihoodData:
     variances: Optional[np.ndarray] = None
     # Sparse-only extras kept for .data file round-trips:
     precision_assoc: Optional[tuple] = None
+    # Banded-only extras (ops/banded.py).  The band lives in the engine's
+    # INTERNAL pre-order layout; ``band_perm`` maps reference branch order
+    # into it (``d_internal = d_ref[band_perm]``).  ``band_chol`` is the
+    # upper band of L with P_internal = L L' (``band_chol[i, t] =
+    # L[i, i+t]``, t = 0..bandwidth).
+    band_chol: Optional[np.ndarray] = None
+    bandwidth: Optional[int] = None
+    band_perm: Optional[np.ndarray] = None
 
     @staticmethod
     def none() -> "LikelihoodData":
@@ -76,6 +85,24 @@ class LikelihoodData:
             chol_precision=np.linalg.cholesky(precision),
             log_det_sigma=float(log_det_sigma),
             precision_assoc=tuple(assoc) if assoc is not None else None,
+        )
+
+    @staticmethod
+    def banded(mu, band_chol, log_det_sigma, perm) -> "LikelihoodData":
+        """TPU-native banded precision (ops/banded.py): the scaling
+        replacement for the reference's unstructured sparse kind
+        (app/Probability.hs:178-184) — O(D*w) storage and evaluation.
+        ``mu`` is in reference branch order; ``band_chol`` and the band
+        itself live in the internal pre-order layout reached via
+        ``perm``."""
+        band_chol = np.asarray(band_chol, dtype=np.float64)
+        return LikelihoodData(
+            kind=BANDED,
+            mu=np.asarray(mu, dtype=np.float64),
+            log_det_sigma=float(log_det_sigma),
+            band_chol=band_chol,
+            bandwidth=int(band_chol.shape[1] - 1),
+            band_perm=np.asarray(perm, dtype=np.int64),
         )
 
     @staticmethod
@@ -125,6 +152,25 @@ def make_log_likelihood(data: LikelihoodData, dtype=jnp.float64):
             return mvn_log_density(d - mu, chol, log_det)
 
         return f_mvn
+    if data.kind == BANDED:
+        from . import banded as _banded
+
+        wb = _banded.default_block_size(int(data.bandwidth))
+        L3 = jnp.asarray(_banded.blocks_from_upper_band(data.band_chol, wb),
+                         dtype)
+        perm = jnp.asarray(data.band_perm)
+        mu_int = jnp.asarray(np.asarray(data.mu)[np.asarray(data.band_perm)],
+                             dtype)
+        log_det = jnp.asarray(data.log_det_sigma, dtype)
+        D = int(data.band_chol.shape[0])
+
+        def f_banded(d):
+            dx = d[..., perm] - mu_int
+            y = _banded.block_tridiag_matmul(dx, L3, D)
+            quad = jnp.sum(y * y, axis=-1)
+            return -LN_SQRT_2PI * D - 0.5 * (log_det + quad)
+
+        return f_banded
     if data.kind == UNIVARIATE:
         var = jnp.asarray(data.variances, dtype)
         log_var_sum = jnp.asarray(np.sum(np.log(data.variances)), dtype)

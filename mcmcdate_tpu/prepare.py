@@ -136,6 +136,7 @@ def prepare(
     likelihood_spec: str,
     *,
     sparse_rho: float = 0.1,
+    banded_w: int = 128,
     out_dir: str = ".",
     log=print,
 ) -> PrepareResult:
@@ -271,6 +272,25 @@ def prepare(
         for (i, j), v in assoc:
             prec_dense[i, j] = v
         data = mvn.LikelihoodData.sparse(mu_s, prec_dense, log_det_s, assoc=assoc)
+    elif likelihood_spec == mvn.BANDED:
+        # TPU-native scaling kind (no reference analog; replaces the
+        # reference's unstructured sparse mat-vec, app/Probability.hs:178-184,
+        # with a block-banded precision in the internal pre-order layout —
+        # see ops/banded.py for the estimator and the O(D w) evaluation).
+        from .ops import banded as banded_ops
+
+        w = int(banded_w)
+        log("Use a banded precision matrix (Cholesky banding estimator).")
+        log(f"Use a (provided) bandwidth of: {w}.")
+        perm = topo.ref_to_internal_perm
+        xs_int = pm_r[:, perm]
+        _, band, log_det_b = banded_ops.estimate_banded_chol(xs_int, w)
+        nnz_band = int(np.count_nonzero(band)) * 2 - len(mu)
+        log(f"Number of elements of full matrix: {len(mu) ** 2}")
+        log(f"Number of elements within the band: {nnz_band}")
+        log("The logarithm of the determinant of the banded covariance "
+            f"matrix is: {log_det_b}")
+        data = mvn.LikelihoodData.banded(mu, band, log_det_b, perm)
     elif likelihood_spec == mvn.UNIVARIATE:
         log("Use univariate normal distributions.")
         data = mvn.LikelihoodData.univariate(mu, variances)
