@@ -316,6 +316,23 @@ if _rb_env:
     )
 RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 
+# Hoisted P blocks: each range/point block's P rows (``Prow``) and P
+# sub-block (``Q = P[rows, rows]``) are plan-static, so recomputing them
+# from the [D, D] precision inside every sweep (two D-wide one-hot
+# matmuls — the majority of the ranges- and points-phase MACs) is
+# loop-invariant work.  ``sweeps`` hoists them: ONE bulk row gather per
+# jitted chunk, stored bf16 (the production matmul precision is one bf16
+# pass, so the stored values match what the dynamic matmuls produced) and
+# streamed through the scan as TRACED inputs — never jaxpr constants, so
+# the remote-compile payload limit that killed the host-precomputed
+# variant (PERF.md round-3 negative result, HTTP 413) does not apply.
+#   MCMCDATE_STATIC_P: "auto" (default; on for dense precisions when the
+#   stacks fit the cap), "1" (force on), "0" (off).
+_STATIC_P_MODE = os.environ.get("MCMCDATE_STATIC_P", "auto")
+_STATIC_P_CAP = float(
+    os.environ.get("MCMCDATE_STATIC_P_MAX_GB", "6.0")
+) * 1e9
+
 
 def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
     topo = model.topo
@@ -840,6 +857,86 @@ class FastSweeps:
         mu = self._const("mu", dtype)
         return self._x_L(d - mu, dtype)
 
+    # -- hoisted P blocks (see _STATIC_P_MODE) ----------------------------
+
+    def _static_p_blocks(self, dtype):
+        """Per-spec stacks ``(Prow [m, R, D], Q [m, R, R])`` of the
+        likelihood-coupled range/point blocks' P rows and P sub-blocks,
+        computed ONCE per jitted call (loop-invariant over sweeps) as
+        traced values from the precision constant.  Returns two dicts
+        ``(ranges, points)`` keyed like ``plan.range_specs`` /
+        ``plan.specs``; empty when disabled, the precision is not dense,
+        or the stacks exceed the memory cap (ranges get priority — their
+        dynamic rebuild is the larger share of the sweep)."""
+        if (_STATIC_P_MODE == "0" or not self.use_lik or self.banded):
+            return {}, {}
+        rng_specs = {
+            k: s for k, s in self.plan.range_specs.items()
+            if s.kind != P.K_SCALE_SUBTREES_CONTRA
+        }
+        pt_specs = {
+            k: s for k, s in self.plan.specs.items()
+            if k != P.K_SLIDE_NODES_CONTRA
+        }
+        if not rng_specs and not pt_specs:
+            return {}, {}
+        # On TPU the dynamic path's matmuls run one bf16 pass, so bf16
+        # storage reproduces the dynamic values exactly at half the HBM;
+        # elsewhere (CPU equivalence children) matmuls are exact in the
+        # compute dtype, so store in it.
+        tpu_like = jax.default_backend() not in ("cpu",)
+        store_dt = (jnp.bfloat16
+                    if jnp.dtype(dtype) == jnp.float32 and tpu_like
+                    else jnp.dtype(dtype))
+        D = self._dim
+        isz = jnp.dtype(store_dt).itemsize
+
+        def stack_bytes(rows_shape):
+            m = rows_shape[0]
+            R = int(np.prod(rows_shape[1:]))
+            return m * R * (D + R) * isz
+
+        est_rng = sum(stack_bytes(s.own.shape) for s in rng_specs.values())
+        est_pt = sum(stack_bytes(s.d_rows.shape) for s in pt_specs.values())
+        if _STATIC_P_MODE != "1":
+            if est_rng > _STATIC_P_CAP:
+                rng_specs = {}
+                est_rng = 0
+            if est_rng + est_pt > _STATIC_P_CAP:
+                pt_specs = {}
+        P_c = self._const("prec", dtype)
+        zero = jnp.zeros((), store_dt)
+
+        def stacks(rows):
+            """(Prow [m, R, D], Q [m, R, R]) for distance-row index array
+            ``rows [m, R]`` with −1 padding → all-zero rows/columns,
+            matching the dynamic one-hot matmuls exactly."""
+            rf = jnp.asarray(np.clip(rows, 0, None))
+            msk = jnp.asarray(rows >= 0)
+            m, R = rows.shape
+            pr = jnp.take(P_c, rf.reshape(-1), axis=0)
+            pr = pr.reshape(m, R, D).astype(store_dt)
+            pr = jnp.where(msk[..., None], pr, zero)
+            qs = jax.vmap(lambda p, c: p[:, c])(pr, rf)
+            qs = jnp.where(msk[:, None, :], qs, zero)
+            return pr, qs
+
+        pos = np.asarray(self.model.topo.internal_pos)
+        rng_out = {}
+        for k, s in rng_specs.items():
+            m = s.own.shape[0]
+            own = s.own.reshape(m, -1)
+            # P is indexed by DISTANCE rows: pos[node], matching the
+            # step's ``d_own = pos[own]`` one-hot selector.
+            rng_out[k] = stacks(np.where(own >= 0, pos[np.clip(own, 0, None)],
+                                         -1))
+        pt_out = {}
+        for k, s in pt_specs.items():
+            m = s.d_rows.shape[0]
+            # d_rows are already distance-row indices.
+            pt_out[k] = stacks(np.asarray(s.d_rows).reshape(m, -1))
+        return rng_out, pt_out
+
     # -- global-move family scans (round 3) -------------------------------
 
     def _glob_step(self, tag, dtype, beta=1.0, beta_prior=1.0):
@@ -1275,9 +1372,16 @@ class FastSweeps:
 
         return step, nspec
 
-    def _mega_point_lik(self, spec: MegaSpec, dtype, beta=1.0, beta_prior=1.0):
+    def _mega_point_lik(self, spec: MegaSpec, dtype, beta=1.0,
+                        beta_prior=1.0, static_pq=False):
         """Likelihood-coupled point batch (slides / branch-rate scales) with
-        the exact sequential-correction accept scan."""
+        the exact sequential-correction accept scan.
+
+        ``static_pq``: the step's P rows (``Prow``) and P sub-block
+        (``Pblk``) are plan-static — with it set, they arrive precomputed
+        in the scan inputs (hoisted out of the sweep loop by
+        :meth:`_static_p_blocks`) instead of being rebuilt from the [D, D]
+        precision every sweep."""
         model = self.model
         is_branch = spec.kind == P.K_SCALE_BRANCH_RATE
         use_lik = self.use_lik
@@ -1433,8 +1537,12 @@ class FastSweeps:
                 # zG = the gathered z view — updated INCREMENTALLY between
                 # sub-blocks through Pblk so z itself is touched only once
                 # at the end (add-form scatter of all accepted deltas).
-                Prow = self._x_P(OHB, dtype)                   # [B*KD, D]
-                Pblk = Prow @ OHB.T                            # [B*KD, B*KD]
+                if static_pq:
+                    Prow = sx["Prow"]                  # [B*KD, D] hoisted
+                    Pblk = sx["Pblk"]                  # [B*KD, B*KD]
+                else:
+                    Prow = self._x_P(OHB, dtype)               # [B*KD, D]
+                    Pblk = Prow @ OHB.T                        # [B*KD, B*KD]
                 Pblk4 = Pblk.reshape(B, kd, B, kd)
                 zG = z @ OHB.T                                 # [C, B*KD]
                 accept = jnp.zeros((C, B), bool)
@@ -1629,7 +1737,7 @@ class FastSweeps:
         return step, nspec
 
     def _mega_range_lik(self, spec: RangeSpec, dtype, beta=1.0,
-                        beta_prior=1.0):
+                        beta_prior=1.0, static_pq=False):
         """Sub-block of likelihood-coupled subtree scales: ultrametric
         (Ultrametric.hs:126-188) or rate-tree (Unconstrained.hs:95-137),
         in the transposed ``[param, chains]`` layout.
@@ -1639,6 +1747,12 @@ class FastSweeps:
         sign-flipped boundary row), so pairwise cross terms reduce to
         quadratics in gathered P blocks; a sequential accept scan applies
         the exact corrections.
+
+        ``static_pq``: the block's P rows (``Prow``) and P sub-block (``Q``)
+        are plan-static — with it set, they arrive precomputed in the scan
+        inputs (hoisted out of the sweep loop by :meth:`_static_p_blocks`,
+        ~40% of the step's matmul work) instead of being rebuilt from the
+        [D, D] precision every sweep.
         """
         model = self.model
         topo = model.topo
@@ -1779,8 +1893,12 @@ class FastSweeps:
                 OHD = OHD0
                 zg = (OHD @ zT).reshape(S_n, rb, C)
                 v = jnp.sum(g * zg, axis=1)             # [S, C]
-                Prow = self._x_P(OHD, dtype)             # [S*rb, D]
-                Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
+                if static_pq:
+                    Prow = sx["Prow"]                    # [S*rb, D] hoisted
+                    Q = sx["Q"].reshape(S_n, rb, S_n, rb)
+                else:
+                    Prow = self._x_P(OHD, dtype)         # [S*rb, D]
+                    Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
                 # G[a, b, c] = g_a' P g_b per chain; the diagonal is the
                 # self term gamma_b = g_b' P g_b.
                 G = jnp.einsum("aic,aibj,bjc->abc", g, Q, g)
@@ -1878,6 +1996,10 @@ class FastSweeps:
         P_orig = self.table.n_proposals
         P_seq = self.plan.seq_table.n_proposals
 
+        # Point/range blocks' static P rows/sub-blocks are hoisted out of
+        # the sweep loop (one bulk gather per jitted call) and streamed
+        # through the scans as traced inputs — see _static_p_blocks.
+        rng_static, pt_static = self._static_p_blocks(dtype)
         mega_steps = []
         for k, spec in self.plan.specs.items():
             if k == P.K_SLIDE_NODES_CONTRA:
@@ -1886,10 +2008,13 @@ class FastSweeps:
                                                           beta_prior)
                 )
             else:
-                mega_steps.append(
-                    ("lik",) + self._mega_point_lik(spec, dtype, beta,
-                                                    beta_prior)
+                st = pt_static.get(k)
+                step, nspec = self._mega_point_lik(
+                    spec, dtype, beta, beta_prior, static_pq=st is not None
                 )
+                if st is not None:
+                    nspec = dict(nspec, Prow=st[0], Pblk=st[1])
+                mega_steps.append(("lik", step, nspec))
         # Range steps run in the transposed [param, chains] layout.
         range_steps = []
         for k, spec in self.plan.range_specs.items():
@@ -1898,9 +2023,13 @@ class FastSweeps:
                     self._mega_range_contra(spec, dtype, beta_prior)
                 )
             else:
-                range_steps.append(
-                    self._mega_range_lik(spec, dtype, beta, beta_prior)
+                st = rng_static.get(k)
+                step, nspec = self._mega_range_lik(
+                    spec, dtype, beta, beta_prior, static_pq=st is not None
                 )
+                if st is not None:
+                    nspec = dict(nspec, Prow=st[0], Q=st[1])
+                range_steps.append((step, nspec))
         # Global-move families (specialized scans; see GlobGroup).
         glob_steps = []
         for tag, grp in self.plan.glob_groups.items():
