@@ -289,13 +289,21 @@ def _load_model(args, log):
         log(f"Get braces from: {args.braces}.")
         br = load_braces_json(args.braces, tree, topo, log=log)
 
-    spec, _ = _parse_likelihood_spec(args.likelihood_spec)
     log("Initialize likelihood function.")
     data = lhdata.load_data(os.path.join(args.out_dir, data_file(prep)))
-    if data.kind != spec:
-        raise SystemExit(
-            f"Likelihood specification ({spec}) and data ({data.kind}) do not match."
-        )
+    if args.likelihood_spec is None:
+        # run/continue/marginal-likelihood only use the flag to cross-check
+        # against what `prepare` recorded in the .data file, so default to
+        # the recorded kind (Main.hs:86-97 rebuilds it from Options because
+        # its .data stores raw matrices; ours stores the kind).
+        log(f"Use likelihood specification from data file: {data.kind}.")
+    else:
+        spec, _ = _parse_likelihood_spec(args.likelihood_spec)
+        if data.kind != spec:
+            raise SystemExit(
+                f"Likelihood specification ({spec}) and data ({data.kind}) "
+                "do not match."
+            )
 
     clock = _parse_clock(args.relaxed_molecular_clock or "UncorrelatedGamma")
     model = DatingModel(
@@ -524,7 +532,8 @@ def main(argv=None):
         if args.mode == "prepare" and (args.rooted_tree is None or args.trees is None):
             raise SystemExit("prepare requires --rooted-tree and --trees "
                              "(flags or analysis.conf)")
-        if getattr(args, "likelihood_spec", None) is None:
+        if (args.mode == "prepare"
+                and getattr(args, "likelihood_spec", None) is None):
             raise SystemExit("--likelihood-spec missing "
                              "(flag or analysis.conf likelihood_spec key)")
     if args.mode == "prepare":
