@@ -65,12 +65,15 @@ def test_conf_model_keys_and_suffix(tmp_path):
 
 
 def test_missing_likelihood_spec_exits(tmp_path):
+    """`prepare` requires the spec; `run` (etc.) defaults it from the kind
+    recorded in the .data file, so only prepare exits without it."""
     conf = tmp_path / "analysis.conf"
-    conf.write_text('analysis_name="t1"\n')
+    conf.write_text('analysis_name="t1"\nrooted_tree="t.tree"\n'
+                    'trees="t.nwk"\n')
     from mcmcdate_tpu.cli import main
 
     with pytest.raises(SystemExit):
-        main(["run", "--analysis-conf", str(conf)])
+        main(["prepare", "--analysis-conf", str(conf)])
 
 
 # -- checkpoint robustness -------------------------------------------------

@@ -60,6 +60,43 @@ def main(path):
         "converges.  25-leaves-bastien is real data (no simulation truth): "
         "calibration/constraint satisfaction and convergence only.\n"
     )
+    print(
+        "## Why 10-leaves-autocorrelated-rate recovers truth loosely "
+        "(round 4)\n\n"
+        "The one fixture with a materially looser truth-recovery bar was "
+        "chased down: the gap is in the FIXTURE'S DATA, not the engine.  "
+        "The fixture's committed PhyloBayes branch-length sample "
+        "(data/test.treelist, 5000 LG sites) deviates from the simulation "
+        "truth by factors of 2–3 on the short internal branches, and "
+        "the posterior faithfully follows the data:\n\n"
+        "| Branch (clade) | truth time×rate | PhyloBayes mean | "
+        "posterior effect |\n"
+        "|---|---|---|---|\n"
+        "| (a,b,c,d) stem | 0.0044 | **0.0000** | node pushed up to "
+        "≈parent: rel age 0.95 vs truth 0.78 |\n"
+        "| (e,f,g,h,i,j) stem | 0.0036 | **0.0098** (2.7×) | node "
+        "pushed down: rel age 0.38 vs truth 0.64 |\n"
+        "| (e,f,g,h,i) stem | 0.0004 | **0.0014** (3.3×) | pushed "
+        "down: rel age 0.31 vs truth 0.60 |\n"
+        "| (b,c,d) stem | 0.0022 | 0.0039 (1.7×) | inflated |\n\n"
+        "(tools/fixture_data_probe.py reproduces the table from the "
+        "fixture's own time.alpha.tree / rate.alpha.tree / test.treelist.)  "
+        "A zero-length observed stem forces the dating model — ANY "
+        "dating model — to collapse that node onto its parent; a "
+        "2.7×-inflated stem pushes it down.  The truth falls outside "
+        "the posterior's own 95% interval for 5 of 8 clades in exactly the "
+        "directions the data deviations predict, so no schedule or model "
+        "change can tighten this bar; only the fixture's data could.  The "
+        "0.35 rel_atol is a data-noise bound (worst measured 0.29), and "
+        "the banded-kind fixture test asserts parity against the full-spec "
+        "posterior on the same data (spec parity, which is not "
+        "data-limited) rather than against truth.\n\n"
+        "Round-4 correction: earlier PARITY revisions reported 0.167 for "
+        "this fixture — an artifact of a truncated-clade-key "
+        "collision in the reporting (nested clades sharing their first "
+        "leaves overwrote each other's errors), fixed alongside this "
+        "analysis.\n"
+    )
     if mcmctree:
         print("## Cross-implementation accuracy: mtCDNApri vs PAML MCMCtree\n")
         print(
