@@ -49,11 +49,27 @@ def main():
     ap.add_argument("--n-trees", type=int, default=3000)
     ap.add_argument("--continue", dest="cont", action="store_true",
                     help="continue the existing OUT_DIR analysis instead")
+    ap.add_argument("--mc3", action="store_true",
+                    help="run MC3 (CHAINS cold groups x 4 temperatures); "
+                         "use for the deep-backbone mode mixing the plain "
+                         "MHG run cannot achieve (tools/goe_modes.py)")
+    ap.add_argument("--reuse-data", metavar="DIR",
+                    help="copy goe.data/goe.meantree from a previous "
+                         "flagship OUT_DIR instead of re-simulating, so "
+                         "runs are comparable on identical data")
     args = ap.parse_args()
     d = os.path.abspath(args.out_dir)
     os.makedirs(d, exist_ok=True)
 
-    if not args.cont:
+    if args.reuse_data and not args.cont:
+        import shutil
+
+        for f in ("goe.data", "goe.meantree"):
+            shutil.copy(os.path.join(os.path.abspath(args.reuse_data), f),
+                        os.path.join(d, f))
+        print("[goe_flagship] reusing prepared data from "
+              f"{args.reuse_data}", flush=True)
+    elif not args.cont:
         sys.path.insert(0, REPO)
         from mcmcdate_tpu.tree import read_one_newick
         from mcmcdate_tpu.utils.simulate import (simulate_on_topology,
@@ -76,7 +92,8 @@ def main():
          "--ignore-problematic-calibrations",
          "--braces", os.path.join(GOE, "braces.json"),
          "--iterations", str(args.iterations),
-         "--chains", str(args.chains), "--seed", str(args.seed)],
+         "--chains", str(args.chains), "--seed", str(args.seed)]
+        + (["--mc3"] if args.mc3 else []),
         cwd=d)
 
     r = subprocess.run(
