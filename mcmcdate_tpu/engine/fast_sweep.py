@@ -328,6 +328,15 @@ RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 # variant (PERF.md round-3 negative result, HTTP 413) does not apply.
 #   MCMCDATE_STATIC_P: "auto" (default; on for dense precisions when the
 #   stacks fit the cap), "1" (force on), "0" (off).
+# Occasional-bold contrary steps: with probability MCMCDATE_BOLD_P each
+# distance-invariant contrary subtree-scale ticket uses a
+# MCMCDATE_BOLD_FACTOR-times-wider kernel (see _mega_range_contra).
+# Default OFF (0.0): the mixture targets slow deep-backbone valleys at
+# GOE scale and is enabled per run; all equivalence/invariance suites
+# validate the default kernel.
+BOLD_P = float(os.environ.get("MCMCDATE_BOLD_P", "0.0"))
+BOLD_FACTOR = float(os.environ.get("MCMCDATE_BOLD_FACTOR", "8.0"))
+
 _STATIC_P_MODE = os.environ.get("MCMCDATE_STATIC_P", "auto")
 _STATIC_P_CAP = float(
     os.environ.get("MCMCDATE_STATIC_P_MAX_GB", "6.0")
@@ -1657,6 +1666,22 @@ class FastSweeps:
             hp = hT[par]
             tune = tunT[rows]
             k1, k2 = jax.random.split(key_m)
+            if BOLD_P > 0:
+                # Occasional-bold mixture (round 4): with probability
+                # BOLD_P a ticket uses a BOLD_FACTOR-times-wider kernel.
+                # The GOE flagship showed the deep backbone's
+                # distance-invariant direction is a barrier-free but
+                # extremely SLOW valley (PERF.md "GOE deep-backbone
+                # bimodality"; tools/goe_modes.py): tuned steps diffuse
+                # ~60 My per 20k sweeps where the modes sit 430 My apart.
+                # A state-independent mixture of reversible kernels is
+                # reversible; forward and reverse densities share the same
+                # effective tune inside truncated_normal_sample, so each
+                # component's MHG factor is exact.
+                k1, kb = jax.random.split(k1)
+                bold = jax.random.bernoulli(kb, BOLD_P, hi.shape)
+                tune = tune * jnp.where(bold, jnp.asarray(BOLD_FACTOR, dtype),
+                                        jnp.asarray(1.0, dtype))
             hnew, lq = truncated_normal_sample(
                 k1, hi, jnp.asarray(sd, dtype)[:, None], tune, 0.0, hp
             )

@@ -264,6 +264,39 @@ print("OK static range", int(a1.sum()))
 
 
 @pytest.mark.fast_guard
+def test_bold_contra_invariance():
+    """The occasional-bold contrary mixture (MCMCDATE_BOLD_P,
+    fast_sweep.BOLD_P) must leave the stationary distribution unchanged:
+    a state-independent mixture of reversible kernels is reversible, and
+    each component's MHG factor is computed from its own effective tune.
+    Compare posterior height moments with the mixture on (p=0.25, 8x)
+    vs off on a full-MVN model, and check the carried log posterior
+    stays exact under bold steps."""
+    out = _run_child(COMMON + """
+from mcmcdate_tpu.engine import fast_sweep as fs
+model, table, batch, tuning, topo = build(10, "full", seed=2)
+
+fs.BOLD_P = 0.25
+fast_bold = FastSweeps(model, table)
+hb, (bb, lpb, llb) = moments(fast_bold, batch, tuning, topo, n_rounds=40)
+fs.BOLD_P = 0.0
+fast_plain = FastSweeps(model, table)
+hp_, _ = moments(fast_plain, batch, tuning, topo, n_rounds=40)
+
+inner = np.asarray(topo.inner_nodes)
+mb, mp = hb[:, inner].mean(0), hp_[:, inner].mean(0)
+se = hb[:, inner].std(0) / np.sqrt(len(hb) / 16.0)
+err = np.abs(mb - mp)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+lp_direct = np.asarray(jax.vmap(model.log_posterior)(bb))
+drift = np.abs(lp_direct - np.asarray(lpb + llb)).max()
+assert drift < 0.05, drift
+print("OK bold", err.max(), drift)
+""", timeout=1500)
+    assert "OK bold" in out
+
+
+@pytest.mark.fast_guard
 def test_fast_lp_drift_quick():
     """Minutes-scale guardrail (VERDICT r3 item 10): the batched sweep's
     carried log posterior must match a direct recomputation after many

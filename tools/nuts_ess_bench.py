@@ -101,10 +101,19 @@ def main():
                   "--chains", str(args.chains),
                   "--seed", str(args.seed)] + extra, cwd=sub)
         tab = ess_table(os.path.join(sub, "t136.params.monitor"))
-        results[tag] = {"wall_s": dt, "ess": tab,
-                        "ess_per_hour": {
-                            k: round(v["ess_bulk"] * 3600.0 / dt, 1)
-                            for k, v in tab.items()}}
+        # Cross-chain bulk/tail ESS from the run's own diagnostics table
+        # (all chains pooled) — the number that matters for throughput.
+        diag = {}
+        with open(os.path.join(sub, "t136.diagnostics.tsv")) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                diag[parts[0]] = dict(zip(header[1:], map(float, parts[1:])))
+        results[tag] = {"wall_s": dt, "chain0_ess": tab,
+                        "cross_chain": diag,
+                        "ess_per_hour_cross_chain": {
+                            k: round(v["ESS"] * 3600.0 / dt, 1)
+                            for k, v in diag.items()}}
         print(json.dumps({tag: results[tag]}), flush=True)
 
     with open(os.path.join(d, "nuts_ess_report.json"), "w") as fh:
