@@ -928,7 +928,16 @@ class FastSweeps:
             pr = jnp.where(msk[..., None], pr, zero)
             qs = jax.vmap(lambda p, c: p[:, c])(pr, rf)
             qs = jnp.where(msk[:, None, :], qs, zero)
-            return pr, qs
+            # Every input above is compile-time constant (the precision is
+            # a closed-over device array, the rows numpy), so without a
+            # barrier XLA constant-folds this whole chain into a literal
+            # [m, R, R] stack that ships WITH the compiled program — the
+            # exact payload bomb (HTTP 413, PERF.md round-3 negative) the
+            # traced-hoist design exists to avoid, seen as a >1 s
+            # constant-fold alarm in the round-4 multichip dryrun.  The
+            # barrier forces the gather to run at runtime, once per jitted
+            # call, as designed.
+            return jax.lax.optimization_barrier((pr, qs))
 
         pos = np.asarray(self.model.topo.internal_pos)
         rng_out = {}
