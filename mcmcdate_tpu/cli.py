@@ -156,6 +156,21 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, metavar="NUMBER")
     p.add_argument("--mc3", action="store_true",
                    help="use MC3 (parallel tempering) instead of MHG")
+    p.add_argument("--bold-contra", type=float, metavar="P",
+                   help="probability that a distance-invariant contrary "
+                        "subtree-scale ticket uses a wider kernel (an exact "
+                        "reversible mixture); crosses the slow deep-backbone "
+                        "valley at GOE scale (PERF.md).  Default 0 (off)")
+    p.add_argument("--bold-factor", type=float, metavar="F",
+                   help="width multiplier of the bold component (default 8)")
+    p.add_argument("--fiber-slide", type=float, metavar="P",
+                   help="probability per sweep of the fiber node-slide "
+                        "phase: every internal node height is redrawn "
+                        "uniformly over its valid interval with the touched "
+                        "branch rates rescaled so the likelihood is exactly "
+                        "invariant — the kernel that walks ALONG the slow "
+                        "deep-backbone valley (PERF.md).  Default 0 (off); "
+                        "1 recommended at GOE scale")
     p.add_argument("--chains", type=int, default=4,
                    help="vmapped independent chains (TPU extra; default 4)")
     p.add_argument("--iterations", type=int,
@@ -334,6 +349,9 @@ def _settings(args, continue_mode=False):
         out_dir=args.out_dir,
         seed=args.seed,
         dtype=args.dtype,
+        bold_contra=args.bold_contra,
+        bold_factor=args.bold_factor,
+        fiber_slide=args.fiber_slide,
     )
 
 

@@ -83,6 +83,21 @@ class RunSettings:
     dtype: str = "float32"
     beta: float = 1.0  # likelihood tempering (stepping stone / MC3)
     fast_sweep: bool = True  # ticket-batched sweep (engine/fast_sweep.py)
+    # Occasional-bold contrary kernels (--bold-contra): with probability
+    # bold_contra each distance-invariant contrary subtree-scale ticket uses
+    # a bold_factor-times-wider kernel — the mixture that crosses the slow
+    # deep-backbone valley at GOE scale (PERF.md).  None = the
+    # MCMCDATE_BOLD_* env defaults (off).
+    bold_contra: Optional[float] = None
+    bold_factor: Optional[float] = None
+    # Within-chain fiber node-slide (--fiber-slide): probability per sweep of
+    # the likelihood-invariant per-node slide phase — each internal node's
+    # height is redrawn uniformly over its valid interval with the three
+    # touched branch rates rescaled to hold time*rate constant, so the
+    # kernel walks ALONG the slow deep-backbone valley instead of across it
+    # (fast_sweep.FastSweeps._fiber_slide_move).  None = MCMCDATE_FIBER_SLIDE
+    # env default (off).
+    fiber_slide: Optional[float] = None
 
 
 class ChainRunner:
@@ -107,9 +122,23 @@ class ChainRunner:
             # rides it as a dense diagonal up to UNIVARIATE_DENSE_MAX dims
             # (sweep cost is per-HLO overhead, not arithmetic); beyond
             # that the O(N) sequential path avoids the O(N^2) diagonal.
-            self.kern = FastSweeps(model, table)
+            self.kern = FastSweeps(model, table,
+                                   bold_p=settings.bold_contra,
+                                   bold_factor=settings.bold_factor,
+                                   fiber_slide=settings.fiber_slide)
+            if self.kern.bold_p > 0:
+                log(f"bold contrary kernels: p={self.kern.bold_p:g}, "
+                    f"factor={self.kern.bold_factor:g}")
+            if self.kern.fiber_slide_p > 0:
+                log(f"fiber node-slide phase: p={self.kern.fiber_slide_p:g}")
         else:
             self.kern = MHKernel(model, table)
+        # Optional trailing per-sweep stats of kern.sweeps, in its append
+        # order (NaN entries = thinned sweeps).
+        self._extra_names = []
+        if getattr(self.kern, "fiber_slide_p", 0.0) > 0:
+            self._extra_names.append("fiber node-slide")
+        self._extra_accs = {nm: [] for nm in self._extra_names}
         self.dtype = jnp.float32 if settings.dtype == "float32" else jnp.float64
         self.targets = jnp.asarray(table.target_rates(), self.dtype)
         self.tune_max = jnp.asarray(table.tune_max(), self.dtype)
@@ -181,19 +210,22 @@ class ChainRunner:
             move = self.nuts.move
 
             def run_nuts(batch, tuning, key, eps, inv_mass):
-                b, lp_pr, lp_lik, acc, tot, outs, ast = self.kern.sweeps(
+                out = self.kern.sweeps(
                     batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll,
                     nuts_move=move, nuts_eps=eps, nuts_inv_mass=inv_mass,
                 )
-                return b, lp_pr, lp_lik, acc, tot, _slim_outs(outs), ast
+                b, lp_pr, lp_lik, acc, tot, outs = out[:6]
+                return (b, lp_pr, lp_lik, acc, tot,
+                        _slim_outs(outs)) + out[6:]
 
             return jax.jit(run_nuts)
 
         def run(batch, tuning, key):
-            b, lp_pr, lp_lik, acc, tot, outs = self.kern.sweeps(
+            out = self.kern.sweeps(
                 batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll
             )
-            return b, lp_pr, lp_lik, acc, tot, _slim_outs(outs)
+            b, lp_pr, lp_lik, acc, tot, outs = out[:6]
+            return (b, lp_pr, lp_lik, acc, tot, _slim_outs(outs)) + out[6:]
 
         return jax.jit(run)
 
@@ -245,12 +277,18 @@ class ChainRunner:
             key, k = jax.random.split(key)
             if with_nuts:
                 eps, im = self.nuts.params()
-                batch, lp_pr, lp_lik, acc, tot, outs, astats = fn(
-                    batch, tuning, k, eps, im
-                )
-                self._nuts_astats.append(float(jnp.mean(astats)))
+                out = fn(batch, tuning, k, eps, im)
+                batch, lp_pr, lp_lik, acc, tot, outs = out[:6]
+                self._nuts_astats.append(float(jnp.mean(out[6])))
+                rest = out[7:]
             else:
-                batch, lp_pr, lp_lik, acc, tot, outs = fn(batch, tuning, k)
+                out = fn(batch, tuning, k)
+                batch, lp_pr, lp_lik, acc, tot, outs = out[:6]
+                rest = out[6:]
+            for nm, arr in zip(self._extra_names, rest):
+                # Per-sweep fiber-phase acceptances (NaN = thinned sweep).
+                a = np.asarray(arr, np.float64)
+                self._extra_accs[nm].extend(a[~np.isnan(a)].tolist())
             acc_sum = acc_sum + acc
             tot_sum = tot_sum + tot
             if collect:
@@ -349,6 +387,13 @@ class ChainRunner:
                 f"{len(self._nuts_astats)} chunks (eps {self.nuts.eps:.5f})"
             )
             self._nuts_astats = []
+        for nm, accs in self._extra_accs.items():
+            if accs:
+                self.log(
+                    f"{nm}: mean acceptance {float(np.mean(accs)):.3f} "
+                    f"over {len(accs)} phase sweeps"
+                )
+                self._extra_accs[nm] = []
         self._write_diagnostics(draws)
         return batch, tuning, key
 

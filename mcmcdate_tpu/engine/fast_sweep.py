@@ -66,7 +66,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -336,6 +336,7 @@ RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 # validate the default kernel.
 BOLD_P = float(os.environ.get("MCMCDATE_BOLD_P", "0.0"))
 BOLD_FACTOR = float(os.environ.get("MCMCDATE_BOLD_FACTOR", "8.0"))
+FIBER_SLIDE = float(os.environ.get("MCMCDATE_FIBER_SLIDE", "0.0"))
 
 _STATIC_P_MODE = os.environ.get("MCMCDATE_STATIC_P", "auto")
 _STATIC_P_CAP = float(
@@ -737,9 +738,24 @@ class FastSweeps:
     (Probability.hs:186-193 is the reference's O(N) evaluation).
     """
 
-    def __init__(self, model: DatingModel, table: P.ProposalTable):
+    def __init__(self, model: DatingModel, table: P.ProposalTable,
+                 bold_p: Optional[float] = None,
+                 bold_factor: Optional[float] = None,
+                 fiber_slide: Optional[float] = None):
         self.model = model
         self.table = table
+        # Occasional-bold contrary kernels (PERF.md "GOE deep-backbone
+        # bimodality"): constructor args win; the MCMCDATE_BOLD_* env vars
+        # remain as fallback defaults for tools/tests.
+        self.bold_p = BOLD_P if bold_p is None else float(bold_p)
+        self.bold_factor = (BOLD_FACTOR if bold_factor is None
+                            else float(bold_factor))
+        # Within-chain fiber node-slide (_fiber_slide_move): probability per
+        # sweep that the likelihood-invariant per-node slide phase runs.
+        # Changes the return shape of ``sweeps`` (an extra per-sweep
+        # acceptance array) when > 0.
+        self.fiber_slide_p = (FIBER_SLIDE if fiber_slide is None
+                              else float(fiber_slide))
         self.plan = plan_batches(model, table)
         self.seq_kern = MHKernel(model, self.plan.seq_table)
         self.use_lik = model.likelihood.kind != mvn_mod.NONE
@@ -1201,8 +1217,21 @@ class FastSweeps:
                 lo, hi_e = sx["lo"], sx["hi"]
                 hi_h = jnp.take(h, i, axis=1)
                 hp = jnp.take(h, parent[i], axis=1)
+                tune_eff = tune
+                if tag == "sub_contra" and self.bold_p > 0:
+                    # The SAME occasional-bold mixture as the batched
+                    # contrary range steps (_mega_range_contra): the
+                    # oversize/root-adjacent contrary subtree scales run
+                    # through THIS family, and the slow deep-backbone
+                    # valley (PERF.md) sits exactly on those nodes — a
+                    # bold mixture that skips them would miss its target.
+                    k1, kb = jax.random.split(k1)
+                    bold = jax.random.bernoulli(kb, self.bold_p, tune.shape)
+                    tune_eff = tune * jnp.where(
+                        bold, jnp.asarray(self.bold_factor, dtype),
+                        jnp.asarray(1.0, dtype))
                 hnew, lq = truncated_normal_sample(
-                    k1, hi_h, sd, tune, 0.0, hp
+                    k1, hi_h, sd, tune_eff, 0.0, hp
                 )
                 xi = hnew / hi_h
                 mask = range_mask(lo, hi_e)
@@ -1675,9 +1704,9 @@ class FastSweeps:
             hp = hT[par]
             tune = tunT[rows]
             k1, k2 = jax.random.split(key_m)
-            if BOLD_P > 0:
+            if self.bold_p > 0:
                 # Occasional-bold mixture (round 4): with probability
-                # BOLD_P a ticket uses a BOLD_FACTOR-times-wider kernel.
+                # bold_p a ticket uses a bold_factor-times-wider kernel.
                 # The GOE flagship showed the deep backbone's
                 # distance-invariant direction is a barrier-free but
                 # extremely SLOW valley (PERF.md "GOE deep-backbone
@@ -1688,8 +1717,9 @@ class FastSweeps:
                 # effective tune inside truncated_normal_sample, so each
                 # component's MHG factor is exact.
                 k1, kb = jax.random.split(k1)
-                bold = jax.random.bernoulli(kb, BOLD_P, hi.shape)
-                tune = tune * jnp.where(bold, jnp.asarray(BOLD_FACTOR, dtype),
+                bold = jax.random.bernoulli(kb, self.bold_p, hi.shape)
+                tune = tune * jnp.where(bold,
+                                        jnp.asarray(self.bold_factor, dtype),
                                         jnp.asarray(1.0, dtype))
             hnew, lq = truncated_normal_sample(
                 k1, hi, jnp.asarray(sd, dtype)[:, None], tune, 0.0, hp
@@ -1998,6 +2028,208 @@ class FastSweeps:
 
     # -- the sweep driver ----------------------------------------------
 
+    # NOTE (round 5, measured negative): a cross-chain fiber height-SWAP —
+    # pairs of chains exchanging whole height vectors with every branch
+    # rate rescaled to hold time*rate constant (likelihood-invariant
+    # involution, accepted on the prior ratio) — was designed and measured
+    # first.  Its acceptance is the prior ratio over ALL ~2N rescaled rate
+    # terms, and collapses even at 10 leaves (measured 2e-4); the per-node
+    # slide below keeps the same fiber geometry with only ~3 touched terms
+    # per accept and replaces it.  Recorded in PERF.md.
+
+    def _fiber_slide_plan(self):
+        """Host-side plan for the fiber node-slide phase: color classes of
+        internal non-root nodes plus per-class term-ownership maps.
+
+        Two nodes conflict (must not move in the same class) when they are
+        tree-adjacent (they share a branch whose rate is rescaled, and the
+        slide interval of one is bounded by the other) or co-occur in a
+        constraint/brace term (per-node acceptance needs each term's delta
+        to depend on ONE moved node).  A greedy coloring of this graph gives
+        2-4 classes in practice (trees are bipartite by level)."""
+        model = self.model
+        topo = model.topo
+        N = topo.n
+        parent = np.asarray(topo.parent)
+        is_leaf = np.asarray(topo.is_leaf)
+        movable = [i for i in range(1, N) if not is_leaf[i]]
+        mov = set(movable)
+        adj = {i: set() for i in movable}
+
+        def edge(a, b):
+            if a in mov and b in mov and a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+
+        for i in movable:
+            edge(i, int(parent[i]))
+        con, br, cal = model.constraints, model.braces, model.calibrations
+        if con.n:
+            for yy, oo in zip(np.asarray(con.young), np.asarray(con.old)):
+                edge(int(yy), int(oo))
+        if br.n:
+            for row in np.asarray(br.node):
+                real = [int(x) for x in row if x >= 0]
+                for a in range(len(real)):
+                    for b in range(a + 1, len(real)):
+                        edge(real[a], real[b])
+        order = sorted(movable, key=lambda i: -len(adj[i]))
+        color: Dict[int, int] = {}
+        for i in order:
+            used = {color[j] for j in adj[i] if j in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[i] = c
+        n_colors = 1 + max(color.values(), default=-1)
+        T = 4 + 2 * (N + 1) + (cal.n + con.n + br.n)
+        children = np.asarray(topo.children)
+        classes = []
+        for c in range(n_colors):
+            idx = np.asarray(
+                sorted(i for i in movable if color[i] == c), np.int32
+            )
+            m = len(idx)
+            pos = {int(v): j for j, v in enumerate(idx)}
+            owner = np.full(T, m, np.int32)
+            # Birth-death term i depends on (h_i, h_parent(i)); clock term i
+            # on (r_i, tl_i) — both touched iff i or parent(i) moves.
+            for i in range(1, N):
+                own = pos.get(i, pos.get(int(parent[i])))
+                if own is not None:
+                    owner[4 + i] = own
+                    owner[4 + (N + 1) + i] = own
+            off = 4 + 2 * (N + 1)
+            if cal.n:
+                for nd in np.asarray(cal.node):
+                    if int(nd) in pos:
+                        owner[off] = pos[int(nd)]
+                    off += 1
+            if con.n:
+                for yy, oo in zip(np.asarray(con.young), np.asarray(con.old)):
+                    own = pos.get(int(yy), pos.get(int(oo)))
+                    if own is not None:
+                        owner[off] = own
+                    off += 1
+            if br.n:
+                for row in np.asarray(br.node):
+                    for x in row:
+                        if int(x) in pos:
+                            owner[off] = pos[int(x)]
+                            break
+                    off += 1
+            ch = children[idx]  # [m, max_c], -1 padding
+            pj, pc = np.nonzero(ch >= 0)
+            classes.append(dict(
+                idx=idx,
+                par=parent[idx].astype(np.int32),
+                ch=ch.astype(np.int32),
+                ch_row=pj.astype(np.int32),
+                ch_col=pc.astype(np.int32),
+                ch_idx=ch[pj, pc].astype(np.int32),
+                owner=owner,
+            ))
+        return classes
+
+    def _fiber_slide_move(self, dtype, beta_prior=1.0):
+        """Within-chain fiber node-slide: a likelihood-invariant node-height
+        Gibbs-style kernel for the slow deep-backbone valley.
+
+        tools/goe_fiber_probe.py showed the GOE deep-backbone modes connect
+        along the likelihood FIBER — move node heights, rescale branch rates
+        to hold every time*rate product constant, and the likelihood is
+        exactly invariant with no posterior barrier; ordinary height kernels
+        crawl along it because any uncompensated height move pays a
+        likelihood penalty, and the round-4/5 bold contrary mixture measured
+        ZERO effect (PERF.md).  This kernel moves ALONG the fiber directly,
+        one node at a time: for internal non-root node v propose
+
+            h_v' ~ Uniform(max_c h_child, h_parent)          (the full
+                                                              valid interval)
+            r_b' = r_b * dt_b / dt_b'   for b in {v} + children(v),
+
+        so the three (at binary nodes) touched branch distances are exactly
+        unchanged — the carried d/z/q/y stay valid.  MH acceptance is the
+        PRIOR term-delta over the touched terms (birth-death of v and its
+        children, clock of the rescaled branches, node priors naming v)
+        plus the rate-map Jacobian  sum_b log(dt_b / dt_b');  the uniform
+        proposal over a fixed interval (parent and children pinned within a
+        class) is symmetric and cancels.  Nodes are batched over the color
+        classes of :meth:`_fiber_slide_plan`; within a class the touched
+        term sets are disjoint, so per-node accepts compose exactly.
+
+        The reference has no analog — its node slides pay the likelihood
+        (mcmc's slide + Mcmc.Tree.Proposal.Ultrametric); this is the
+        TPU-batched "jump along the fiber" kernel the round-4 valley
+        diagnosis called for."""
+        model = self.model
+        classes = self._fiber_slide_plan()
+        bprior = jnp.asarray(beta_prior, dtype)
+        n_nodes = sum(int(c["idx"].shape[0]) for c in classes)
+
+        def move(batch, terms, key):
+            C = batch.heights.shape[0]
+            acc_frac = jnp.asarray(0.0, dtype)
+            for cls in classes:
+                idx = jnp.asarray(cls["idx"])
+                par = jnp.asarray(cls["par"])
+                ch = jnp.asarray(cls["ch"])
+                chm = ch >= 0
+                chc = jnp.clip(ch, min=0)
+                ch_row = jnp.asarray(cls["ch_row"])
+                ch_col = jnp.asarray(cls["ch_col"])
+                ch_idx = jnp.asarray(cls["ch_idx"])
+                owner = jnp.asarray(cls["owner"])
+                m = int(cls["idx"].shape[0])
+                key, k_u, k_a = jax.random.split(key, 3)
+                h, r = batch.heights, batch.rates
+                hv = h[:, idx]  # [C, m]
+                hp = h[:, par]
+                hch = h[:, chc]  # [C, m, max_c]
+                lo = jnp.max(jnp.where(chm, hch, 0.0), axis=-1)
+                u = jax.random.uniform(
+                    k_u, hv.shape, dtype, minval=1e-6, maxval=1.0
+                )
+                hn = lo + u * (hp - lo)
+                f_s = (hp - hv) / (hp - hn)
+                dt_c_new = hn[:, :, None] - hch
+                f_c = jnp.where(chm, (hv[:, :, None] - hch) / dt_c_new, 1.0)
+                log_jac = jnp.log(f_s) + jnp.sum(
+                    jnp.where(chm, jnp.log(jnp.where(chm, f_c, 1.0)), 0.0),
+                    axis=-1,
+                )
+                f_ce = f_c[:, ch_row, ch_col]  # [C, E]
+                bn = batch.replace(
+                    heights=h.at[:, idx].set(hn),
+                    rates=r.at[:, idx].multiply(f_s)
+                         .at[:, ch_idx].multiply(f_ce),
+                )
+                terms_n = jax.vmap(model.log_prior_terms)(bn)
+                dterm = terms_n - terms
+                dsum = jnp.zeros((C, m + 1), dtype).at[:, owner].add(
+                    jnp.where(jnp.isnan(dterm), -jnp.inf, dterm)
+                )
+                la = bprior * dsum[:, :m] + log_jac
+                lu = jnp.log(jax.random.uniform(k_a, (C, m), dtype))
+                ok = lu < la  # NaN-safe: NaN compares False -> reject
+                batch = batch.replace(
+                    heights=h.at[:, idx].set(jnp.where(ok, hn, hv)),
+                    rates=r.at[:, idx]
+                          .multiply(jnp.where(ok, f_s, 1.0))
+                          .at[:, ch_idx]
+                          .multiply(jnp.where(ok[:, ch_row], f_ce, 1.0)),
+                )
+                ok_pad = jnp.concatenate(
+                    [ok, jnp.zeros((C, 1), bool)], axis=1
+                )
+                terms = jnp.where(ok_pad[:, owner], terms_n, terms)
+                acc_frac = acc_frac + jnp.sum(ok.astype(dtype)) / (
+                    C * n_nodes
+                )
+            return batch, terms, acc_frac
+
+        return move
+
     def sweeps(
         self,
         batch: State,
@@ -2096,9 +2328,14 @@ class FastSweeps:
             return (jnp.sum(terms, axis=-1),
                     lik_const - 0.5 * jnp.sum(y * y, axis=-1))
 
+        slide_move = (self._fiber_slide_move(dtype, beta_prior)
+                      if self.fiber_slide_p > 0 else None)
+
         def one_sweep(carry, key_s):
             batch, terms, d, y, tuning, acc, chain_keys = carry
-            k_seq, k_perm, k_mega, k_nuts = jax.random.split(key_s, 4)
+            k_seq, k_perm, k_mega, k_nuts, k_slide = jax.random.split(
+                key_s, 5
+            )
 
             # --- sequential leftover phase (shuffled, y-carry) ---
             if len(self.plan.seq_table.tickets):
@@ -2166,6 +2403,21 @@ class FastSweeps:
                     terms, d, z = teT.T, dT.T, zT.T
                 y = self._y_from_d(d, dtype)
 
+            if slide_move is not None:
+                # Fiber node-slide phase (likelihood-invariant per-node
+                # kernel; carried d/z/q/y stay exact).  fiber_slide_p < 1
+                # thins the phase by a state-independent coin.
+                k_do2, k_mv2 = jax.random.split(k_slide)
+                batch_s, terms_s, sl_a = slide_move(batch, terms, k_mv2)
+                do2 = jax.random.bernoulli(k_do2, min(self.fiber_slide_p, 1.0))
+                batch = jax.tree.map(
+                    lambda nw, od: jnp.where(do2, nw, od), batch_s, batch
+                )
+                terms = jnp.where(do2, terms_s, terms)
+                sl_a = jnp.where(do2, sl_a, jnp.nan)
+            else:
+                sl_a = jnp.asarray(jnp.nan, dtype)
+
             if nuts_move is not None:
                 batch, astat = nuts_move(
                     batch, k_nuts, nuts_eps, nuts_inv_mass, beta, beta_prior
@@ -2183,16 +2435,26 @@ class FastSweeps:
                 out = jax.vmap(collect)(batch, lp_pr, lp_lik)
             else:
                 out = None
-            return (batch, terms, d, y, tuning, acc, chain_keys), (out, astat)
+            return (batch, terms, d, y, tuning, acc, chain_keys), (
+                out, astat, sl_a
+            )
 
         sweep_keys = jax.random.split(key, n)
         carry = (batch, terms, d0, y, tuning, acc, chain_keys)
-        carry, (outs, astats) = jax.lax.scan(one_sweep, carry, sweep_keys)
+        carry, (outs, astats, slide_accs) = jax.lax.scan(
+            one_sweep, carry, sweep_keys
+        )
         batch, terms, d, y, tuning, acc, chain_keys = carry
         lp_pr, lp_lik = lp_of(terms, y)
-        if nuts_move is None:
-            return batch, lp_pr, lp_lik, acc, tot, outs
-        return batch, lp_pr, lp_lik, acc, tot, outs, astats
+        # The slide-phase acceptance ([n], NaN on thinned sweeps) is only
+        # appended when the phase is on, so mc3/stepping-stone callers keep
+        # the plain signature.
+        ret = (batch, lp_pr, lp_lik, acc, tot, outs)
+        if nuts_move is not None:
+            ret = ret + (astats,)
+        if slide_move is not None:
+            ret = ret + (slide_accs,)
+        return ret
 
 
 # NOTE: stage-2 (subtree-range batching) extends this module; see PERF.md.

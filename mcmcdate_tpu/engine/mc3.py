@@ -171,7 +171,9 @@ def run_mc3(
                 collect=runner._collect,
                 nuts_move=move, nuts_eps=eps, nuts_inv_mass=im,
             )
-            return out[:5] + (_slim_outs(out[5]),) + out[6:]
+            # Fixed 7-tuple: any trailing stat past the NUTS acceptance
+            # (e.g. the fiber-slide acceptance) is dropped here.
+            return out[:5] + (_slim_outs(out[5]), out[6])
 
         chunk_nuts = jax.jit(_chunk_nuts)
     # Plain chunk is always built: fast burn-in windows exclude the (slow)

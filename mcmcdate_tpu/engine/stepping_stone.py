@@ -132,17 +132,29 @@ def run_marginal_likelihood(
         import time as _time
 
         t0 = _time.time()
-        casc = jax.jit(
-            lambda b, tu, k, j: jax.tree.map(
-                lambda x: x.at[j + 1].set(x[j]),
-                kern.sweeps(b, tu, k, CASCADE_SWEEPS, beta=betas)[0],
+
+        def _rung(b, xs):
+            # Sweep every stone at its own beta, then seed stone j+1 from
+            # stone j — the sequential dependency as ONE lax.scan, a single
+            # jitted dispatch instead of K-1 host round-trips (each of which
+            # paid the per-dispatch tunnel overhead the fast sweep exists
+            # to avoid).
+            j, k = xs
+            nb = kern.sweeps(b, tuning, k, CASCADE_SWEEPS, beta=betas)[0]
+            nb = jax.tree.map(lambda x: x.at[j + 1].set(x[j]), nb)
+            return nb, None
+
+        key, k_casc = jax.random.split(key)
+        rung_keys = jax.random.split(k_casc, n_points - 1)
+        batch, _ = jax.jit(
+            lambda b: jax.lax.scan(
+                _rung, b, (jnp.arange(n_points - 1), rung_keys)
             )
-        )
-        for j in range(n_points - 1):
-            key, k = jax.random.split(key)
-            batch = casc(batch, tuning, k, j)
+        )(batch)
+        jax.block_until_ready(batch.heights)
         log(f"annealed-init cascade: {n_points - 1} rungs x "
-            f"{CASCADE_SWEEPS} sweeps in {_time.time() - t0:.1f}s")
+            f"{CASCADE_SWEEPS} sweeps in {_time.time() - t0:.1f}s "
+            f"(one scanned dispatch)")
 
     targets = jnp.asarray(table.target_rates(), dtype)
     burn = (REPETITIVE_BURN_IN_PROF if profile else REPETITIVE_BURN_IN)
@@ -165,13 +177,14 @@ def run_marginal_likelihood(
         for _ in range(n_chunks):
             key, k = jax.random.split(key)
             if with_nuts:
-                eps, im = nuts.params()
-                batch, lp_pr, lp_lik, acc, tot, _, ast = chunk_nuts(
-                    batch, tuning, k, eps, im
-                )
-                astats.append(float(jnp.mean(ast)))
+                out = chunk_nuts(batch, tuning, k, *nuts.params())
+                batch, lp_pr, lp_lik, acc, tot = out[:5]
+                astats.append(float(jnp.mean(out[6])))
             else:
-                batch, lp_pr, lp_lik, acc, tot, _ = chunk_plain(batch, tuning, k)
+                # Slice (not unpack): sweeps appends trailing stat arrays
+                # when optional phases (NUTS, fiber slide) are on.
+                out = chunk_plain(batch, tuning, k)
+                batch, lp_pr, lp_lik, acc, tot = out[:5]
             acc_s = acc_s + acc
             tot_s = tot_s + tot
         tuning = tune_step(
@@ -194,12 +207,10 @@ def run_marginal_likelihood(
     while it < iters:
         key, k = jax.random.split(key)
         if nuts is not None:
-            eps, im = nuts.params()
-            batch, lp_pr, lp_lik, acc, tot, out, _ = chunk_ll(
-                batch, tuning, k, eps, im
-            )
+            ret = chunk_ll(batch, tuning, k, *nuts.params())
         else:
-            batch, lp_pr, lp_lik, acc, tot, out = chunk_ll(batch, tuning, k)
+            ret = chunk_ll(batch, tuning, k)
+        batch, out = ret[0], ret[5]
         lls.append(np.asarray(out))  # [CHUNK, n_points]
         it += CHUNK
     ll = np.concatenate(lls, axis=0)  # [iters, n_points]

@@ -271,15 +271,17 @@ def test_bold_contra_invariance():
     each component's MHG factor is computed from its own effective tune.
     Compare posterior height moments with the mixture on (p=0.25, 8x)
     vs off on a full-MVN model, and check the carried log posterior
-    stays exact under bold steps."""
+    stays exact under bold steps.  At 10 leaves the contrary subtree
+    scales split across BOTH bold sites — the batched range steps
+    (_mega_range_contra) and the glob ``sub_contra`` family
+    (root-adjacent subtrees) — so this covers the round-5 glob-side
+    mixture and the ``bold_p`` constructor plumbing (--bold-contra)."""
     out = _run_child(COMMON + """
 from mcmcdate_tpu.engine import fast_sweep as fs
 model, table, batch, tuning, topo = build(10, "full", seed=2)
 
-fs.BOLD_P = 0.25
-fast_bold = FastSweeps(model, table)
+fast_bold = FastSweeps(model, table, bold_p=0.25)
 hb, (bb, lpb, llb) = moments(fast_bold, batch, tuning, topo, n_rounds=40)
-fs.BOLD_P = 0.0
 fast_plain = FastSweeps(model, table)
 hp_, _ = moments(fast_plain, batch, tuning, topo, n_rounds=40)
 
@@ -294,6 +296,51 @@ assert drift < 0.05, drift
 print("OK bold", err.max(), drift)
 """, timeout=1500)
     assert "OK bold" in out
+
+
+@pytest.mark.fast_guard
+def test_fiber_slide_invariance():
+    """The fiber node-slide (--fiber-slide,
+    FastSweeps._fiber_slide_move) must leave the stationary distribution
+    unchanged: per internal node, a uniform redraw of its height over the
+    valid interval with the touched branch rates rescaled to hold every
+    time*rate product constant (likelihood exactly invariant), accepted on
+    the prior term-delta plus the rate-map Jacobian.  Compare posterior
+    height moments with the phase on (every sweep) vs off, check the moves
+    accept, and check the carried log posterior stays exact (the move
+    edits heights+rates+terms but must leave d/z/q/y valid)."""
+    out = _run_child(COMMON + """
+model, table, batch, tuning, topo = build(10, "full", seed=5)
+
+fast_s = FastSweeps(model, table, fiber_slide=1.0)
+run = jax.jit(lambda b, tu, k2: fast_s.sweeps(b, tu, k2, 20))
+key = jax.random.PRNGKey(2)
+hs, accs = [], []
+b = batch
+for it in range(40):
+    key, k1 = jax.random.split(key)
+    b, lp, ll, acc, tot, _, sl = run(b, tuning, k1)
+    accs.append(np.asarray(sl))
+    if it >= 5:
+        hs.append(np.asarray(b.heights))
+hf = np.concatenate(hs)
+acc_mean = float(np.nanmean(np.concatenate(accs)))
+assert acc_mean > 0.05, f"fiber slides never accept: {acc_mean}"
+
+fast_plain = FastSweeps(model, table)
+hp_, _ = moments(fast_plain, batch, tuning, topo, n_rounds=40)
+
+inner = np.asarray(topo.inner_nodes)
+mf, mp = hf[:, inner].mean(0), hp_[:, inner].mean(0)
+se = hf[:, inner].std(0) / np.sqrt(len(hf) / 16.0)
+err = np.abs(mf - mp)
+assert np.all(err < 5 * np.maximum(se, 0.01)), (err, se)
+lp_direct = np.asarray(jax.vmap(model.log_posterior)(b))
+drift = np.abs(lp_direct - np.asarray(lp + ll)).max()
+assert drift < 0.05, drift
+print("OK slide", acc_mean, err.max(), drift)
+""", timeout=1500)
+    assert "OK slide" in out
 
 
 @pytest.mark.fast_guard

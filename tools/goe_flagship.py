@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--n-trees", type=int, default=3000)
     ap.add_argument("--continue", dest="cont", action="store_true",
                     help="continue the existing OUT_DIR analysis instead")
+    ap.add_argument("--bold-contra", type=float, metavar="P",
+                    help="occasional-bold contrary kernel probability "
+                         "(--bold-contra of run/continue)")
+    ap.add_argument("--fiber-slide", type=float, metavar="P",
+                    help="fiber node-slide probability "
+                         "(--fiber-slide of run/continue)")
     ap.add_argument("--mc3", action="store_true",
                     help="run MC3 (CHAINS cold groups x 4 temperatures); "
                          "use for the deep-backbone mode mixing the plain "
@@ -93,7 +99,11 @@ def main():
          "--braces", os.path.join(GOE, "braces.json"),
          "--iterations", str(args.iterations),
          "--chains", str(args.chains), "--seed", str(args.seed)]
-        + (["--mc3"] if args.mc3 else []),
+        + (["--mc3"] if args.mc3 else [])
+        + (["--bold-contra", str(args.bold_contra)]
+           if args.bold_contra is not None else [])
+        + (["--fiber-slide", str(args.fiber_slide)]
+           if args.fiber_slide is not None else []),
         cwd=d)
 
     r = subprocess.run(
