@@ -247,6 +247,116 @@ def node_age_summary(path: str, *, burn_in_fraction: float = 0.25) -> dict:
     return out
 
 
+def _split_modes(means: np.ndarray, within_sd: float):
+    """Recursive widest-gap clustering of per-chain means.
+
+    Split the sorted chain means at the widest gap while that gap exceeds
+    2× the median within-chain sd and both sides keep ≥ 2 chains (the
+    goe_modes criterion); recurse into each side, so the ~4 joint deep
+    backbone configurations of a GOE-scale run separate.  Returns a list
+    of chain-index arrays, one per mode, ordered by mode mean.
+    """
+    def rec(idx):
+        if len(idx) < 4:
+            return [idx]
+        order = idx[np.argsort(means[idx])]
+        gaps = np.diff(means[order])
+        i = int(np.argmax(gaps))
+        if gaps[i] < 2.0 * within_sd or i == 0 or i == len(order) - 2:
+            if gaps[i] < 2.0 * within_sd or not 0 < i + 1 < len(order):
+                return [idx]
+        lo, hi = order[: i + 1], order[i + 1:]
+        if len(lo) < 2 or len(hi) < 2:
+            return [idx]
+        return rec(lo) + rec(hi)
+
+    return rec(np.arange(len(means)))
+
+
+def mode_report(
+    analysis_name: str,
+    out_dir: str = ".",
+    *,
+    rhat_threshold: float = 1.1,
+    burn_in_fraction: float = 0.25,
+    write_files: bool = True,
+) -> dict:
+    """Per-MODE posterior summaries for multimodal monitored node ages.
+
+    The reference runs ONE chain (tutorial/main/tutorial.org:442): a
+    single-chain sampler sits inside one mode of a multimodal posterior,
+    produces a clean-looking trace, and silently reports whichever mode it
+    entered.  This engine runs hundreds of chains and keeps their full
+    node-age histories in the checkpoint trace sidecar; when a monitored
+    age's cross-chain R-hat exceeds ``rhat_threshold``, reporting the
+    blended mean would describe NEITHER mode, so this emits per-mode rows
+    instead: chains per mode, occupancy, per-mode mean/sd/95% interval,
+    and the mode's average log posterior (mass comparison).
+
+    Modes are per-chain-mean clusters split recursively at gaps wider
+    than 2× the median within-chain sd (:func:`_split_modes` — the
+    measured GOE deep-backbone clusters sit ~7 within-sds apart, PERF.md
+    "GOE deep-backbone bimodality").  Writes ``<an>.ages.modes`` (TSV)
+    when any monitored quantity fails the threshold; returns
+    ``{name: {rhat, within_sd, modes: [...]}}`` for the failing ones.
+    """
+    from .engine.checkpoint import load_trace
+    from .engine.diagnostics import rhat
+
+    tr = load_trace(analysis_name, in_dir=out_dir)
+    if tr is None:
+        return {}
+    lp = tr.get("lp_post")
+    report = {}
+    for name, arr in tr.items():
+        if not name.startswith("age["):
+            continue
+        a = np.asarray(arr, np.float64)
+        a = a[int(a.shape[0] * burn_in_fraction):]
+        if a.shape[0] < 8 or a.std() == 0.0:
+            continue
+        r = rhat(a)
+        if not (r > rhat_threshold):
+            continue
+        means = a.mean(axis=0)
+        within = float(np.median(a.std(axis=0)))
+        groups = _split_modes(means, within)
+        modes = []
+        for idx in sorted(groups, key=lambda g: means[g].mean()):
+            draws = a[:, idx].ravel()
+            row = dict(
+                chains=int(len(idx)),
+                occupancy=float(len(idx) / a.shape[1]),
+                mean=float(draws.mean()),
+                sd=float(draws.std()),
+                q025=float(np.quantile(draws, 0.025)),
+                q975=float(np.quantile(draws, 0.975)),
+            )
+            if lp is not None:
+                row["mean_lp"] = float(
+                    np.asarray(lp, np.float64)[
+                        int(lp.shape[0] * burn_in_fraction):, idx
+                    ].mean()
+                )
+            modes.append(row)
+        report[name] = dict(rhat=float(r), within_sd=within, modes=modes)
+
+    if write_files and report:
+        path = os.path.join(out_dir, f"{analysis_name}.ages.modes")
+        with open(path, "w") as fh:
+            fh.write("Parameter\tRhat\tMode\tChains\tOccupancy\tMean\tSD\t"
+                     "Q025\tQ975\tMeanLP\n")
+            for name, rep in report.items():
+                for j, m in enumerate(rep["modes"]):
+                    fh.write(
+                        f"{name}\t{rep['rhat']:.4f}\t{j}\t{m['chains']}\t"
+                        f"{m['occupancy']:.4f}\t{m['mean']:.6g}\t"
+                        f"{m['sd']:.6g}\t{m['q025']:.6g}\t{m['q975']:.6g}\t"
+                        f"{m.get('mean_lp', float('nan')):.6g}\n"
+                    )
+    return report
+
+
 def to_nexus(path: str, out_path: str) -> int:
     """Convert a tree monitor file to a Nexus trees block."""
     its, trees = read_tree_monitor(path)

@@ -220,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of monitor rows to drop (default 0.25)")
     p.add_argument("--thin", type=int, default=10,
                    help="thinning factor for the params trace (default 10)")
+    p.add_argument("--rhat-threshold", type=float, default=1.1,
+                   help="node-age R-hat above which per-mode summaries "
+                        "are emitted to <an>.ages.modes (default 1.1)")
 
     p = sub.add_parser("simulate", help="generate a synthetic fixture (extra)")
     p.add_argument("--leaves", type=int, default=6)
@@ -533,6 +536,20 @@ def cmd_analyze(args):
         with open(p("ratetree.tree.mean"), "w") as fh:
             fh.write(summ["mean"] + "\n")
         print(f"rate tree: per-branch mean tree over {summ['n']} samples")
+    # Per-mode summaries for monitored node ages whose cross-chain R-hat
+    # fails: a blended mean over a multimodal posterior describes neither
+    # mode (analyze.mode_report; PERF.md "GOE deep-backbone bimodality").
+    modes = A.mode_report(an, d, rhat_threshold=args.rhat_threshold,
+                          burn_in_fraction=args.burn_in)
+    if modes:
+        print(f"multimodal node ages (R-hat > {args.rhat_threshold:g}): "
+              f"{len(modes)} -> {an}.ages.modes")
+        for name, rep in modes.items():
+            occ = ", ".join(
+                f"{m['chains']} chains at {m['mean']:.4g}"
+                for m in rep["modes"]
+            )
+            print(f"  {name} (R-hat {rep['rhat']:.3f}): {occ}")
 
 
 def main(argv=None):
