@@ -63,6 +63,37 @@ class MarginalLikelihoodResult:
     mean_log_lik_per_point: np.ndarray
 
 
+def annealed_cascade(sweeps_fn, batch, tuning, key, betas, n_points,
+                     cascade_sweeps: int = CASCADE_SWEEPS):
+    """Annealed-init cascade (Main.hs:525-543 semantics): after a few
+    sweeps, stone k+1's chain is re-seeded from stone k's state, so every
+    stone starts from a state reached by annealing up the beta path rather
+    than from the naive init.  All stones keep sweeping at their own beta
+    throughout (the extra sweeps on already-seeded stones are free
+    burn-in).  The K-1 sequential rungs run as ONE ``lax.scan`` — a single
+    jitted dispatch instead of K-1 host round-trips, each of which would
+    pay the per-dispatch tunnel overhead the fast sweep exists to avoid.
+
+    ``sweeps_fn(batch, tuning, key, n_sweeps, beta=betas)`` must return a
+    tuple whose first element is the swept batch (the ``FastSweeps.sweeps``
+    contract); factored out of :func:`run_marginal_likelihood` so the
+    seeding order is unit-testable (test_engine.py).
+    """
+    def _rung(b, xs):
+        j, k = xs
+        nb = sweeps_fn(b, tuning, k, cascade_sweeps, beta=betas)[0]
+        nb = jax.tree.map(lambda x: x.at[j + 1].set(x[j]), nb)
+        return nb, None
+
+    rung_keys = jax.random.split(key, n_points - 1)
+    out, _ = jax.jit(
+        lambda b: jax.lax.scan(
+            _rung, b, (jnp.arange(n_points - 1), rung_keys)
+        )
+    )(batch)
+    return out
+
+
 def run_marginal_likelihood(
     model: DatingModel,
     init: State,
@@ -123,34 +154,13 @@ def run_marginal_likelihood(
     )
 
     if annealed_init and n_points > 1:
-        # Annealed-init cascade (Main.hs:525-543 semantics): after a few
-        # sweeps, stone k+1's chain is re-seeded from stone k's state, so
-        # every stone starts from a state reached by annealing up the beta
-        # path rather than from the naive init.  All stones keep sweeping
-        # at their own beta throughout (the extra sweeps on already-seeded
-        # stones are free burn-in).
         import time as _time
 
         t0 = _time.time()
-
-        def _rung(b, xs):
-            # Sweep every stone at its own beta, then seed stone j+1 from
-            # stone j — the sequential dependency as ONE lax.scan, a single
-            # jitted dispatch instead of K-1 host round-trips (each of which
-            # paid the per-dispatch tunnel overhead the fast sweep exists
-            # to avoid).
-            j, k = xs
-            nb = kern.sweeps(b, tuning, k, CASCADE_SWEEPS, beta=betas)[0]
-            nb = jax.tree.map(lambda x: x.at[j + 1].set(x[j]), nb)
-            return nb, None
-
         key, k_casc = jax.random.split(key)
-        rung_keys = jax.random.split(k_casc, n_points - 1)
-        batch, _ = jax.jit(
-            lambda b: jax.lax.scan(
-                _rung, b, (jnp.arange(n_points - 1), rung_keys)
-            )
-        )(batch)
+        batch = annealed_cascade(
+            kern.sweeps, batch, tuning, k_casc, betas, n_points
+        )
         jax.block_until_ready(batch.heights)
         log(f"annealed-init cascade: {n_points - 1} rungs x "
             f"{CASCADE_SWEEPS} sweeps in {_time.time() - t0:.1f}s "

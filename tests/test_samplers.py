@@ -163,6 +163,82 @@ def test_mc3_cold_chain_marginals():
         assert abs(z) < 6.0, (draws.mean(), gold, z)
 
 
+def test_annealed_cascade_seeding_order():
+    """The cascade scan must seed stone k+1 from stone k AFTER that rung's
+    sweep, sequentially up the ladder (Main.hs:525-543).  With a mock
+    sweeps_fn that adds +1 to every stone, correct sequential seeding has
+    the signature that every stone ends at exactly K-1 (stone j inherits
+    the chain of seeds tracing back to stone 0 at rung j-1, value j, then
+    gains +1 for each of the K-1-j remaining rungs); the naive/broken
+    orders give j + (K-1) or K-2 instead."""
+    from mcmcdate_tpu.engine.stepping_stone import annealed_cascade
+
+    K = 8
+
+    class Box:
+        # minimal pytree with a 'heights' leaf
+        def __init__(self, heights):
+            self.heights = heights
+
+    jax.tree_util.register_pytree_node(
+        Box, lambda b: ((b.heights,), None), lambda _, c: Box(c[0])
+    )
+    batch = Box(jnp.arange(K, dtype=jnp.float32))
+
+    def sweeps_fn(b, tuning, key, n_sweeps, beta=None):
+        return (Box(b.heights + 1.0),)
+
+    out = annealed_cascade(sweeps_fn, batch, None, jax.random.PRNGKey(0),
+                           jnp.ones(K), K)
+    np.testing.assert_array_equal(np.asarray(out.heights),
+                                  np.full(K, K - 1, np.float32))
+
+
+@pytest.mark.slow
+def test_annealed_cascade_rescues_displaced_basin():
+    """VERDICT r4 item 5: on a target whose beta~1 basin is displaced far
+    from the prior mass (narrow univariate MVN at distances ~4x the
+    prior-typical scale), naive parallel init with a short per-stone
+    burn-in demonstrably fails — the high-beta stones never reach the
+    basin, so their mean log likelihood and the stepping-stone log Z come
+    out far below the annealed run's.  The cascade (app/Main.hs:525-543
+    semantics) hands each stone the previous stone's annealed state and
+    recovers the basin with the SAME short burn-in."""
+    t, topo, model0 = _prior_model()
+    rng = np.random.default_rng(7)
+    k = topo.n - 2
+    mu = np.full(k, 2.0)          # prior-typical distances are ~0.2-0.8
+    var = np.full(k, 0.0025)      # sd 0.05: narrow basin
+    model = DatingModel(topo=topo,
+                        likelihood=mvn.LikelihoodData.univariate(mu, var))
+
+    from mcmcdate_tpu.engine.chains import RunSettings
+    from mcmcdate_tpu.engine.mh import BurnInSettings
+    from mcmcdate_tpu.engine.stepping_stone import run_marginal_likelihood
+
+    settings = RunSettings(
+        analysis_name="ss3", n_chains=4, seed=9, iterations=200,
+        burn_in=BurnInSettings([5], [10]),
+    )
+    init = init_state(t, topo, dtype=jnp.float32)
+    res = {}
+    for annealed in (True, False):
+        res[annealed] = run_marginal_likelihood(
+            model, init, settings, profile=True, annealed_init=annealed,
+            log=lambda *a: None,
+        )
+    top_annealed = float(res[True].mean_log_lik_per_point[-1])
+    top_naive = float(res[False].mean_log_lik_per_point[-1])
+    # At the basin the per-dim residual is ~0, so loglik ~ -k/2 log(2 pi
+    # var) ~ +15; stuck far away it is hundreds to thousands below.
+    assert top_annealed > top_naive + 50, (top_annealed, top_naive)
+    assert (res[True].log_marginal_likelihood
+            > res[False].log_marginal_likelihood + 20), (
+        res[True].log_marginal_likelihood,
+        res[False].log_marginal_likelihood,
+    )
+
+
 def test_stepping_stone_no_likelihood_is_zero():
     t, topo, model = _prior_model()
     from mcmcdate_tpu.engine.chains import RunSettings
