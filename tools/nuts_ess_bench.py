@@ -63,8 +63,9 @@ def ess_table(params_monitor, burn_frac=0.2):
         x = cols[:, j]
         if np.allclose(x.std(), 0):
             continue
-        out[name] = {"ess_bulk": float(ess(x[None, :])),
-                     "ess_tail": float(ess_tail(x[None, :]))}
+        # ess/ess_tail take [draws, chains]; this is one chain's series.
+        out[name] = {"ess_bulk": float(ess(x[:, None])),
+                     "ess_tail": float(ess_tail(x[:, None]))}
     return out
 
 
@@ -92,14 +93,26 @@ def main():
     for tag, extra in (("mhg", []), ("nuts", ["--hamiltonian"])):
         sub = os.path.join(d, tag)
         os.makedirs(sub, exist_ok=True)
-        cli(["prepare", "-a", "t136", "--rooted-tree", TREE,
-             "--trees", os.path.join(d, "data", "trees.nwk"),
-             "--likelihood-spec", "sparse 0.1"], cwd=sub)
-        dt = cli(["run", "-a", "t136", "--likelihood-spec", "sparse 0.1",
-                  "--relaxed-molecular-clock", "UncorrelatedLogNormal",
-                  "--iterations", str(args.iterations),
-                  "--chains", str(args.chains),
-                  "--seed", str(args.seed)] + extra, cwd=sub)
+        stamp = os.path.join(sub, "wall_s.json")
+        if os.path.exists(stamp):
+            # Leg already ran to completion (the run wall-clock was
+            # stamped): reuse its monitors instead of re-running.
+            with open(stamp) as fh:
+                dt = json.load(fh)["wall_s"]
+            print(f"[nuts_ess] {tag}: reusing completed leg "
+                  f"({dt:.0f}s)", flush=True)
+        else:
+            cli(["prepare", "-a", "t136", "--rooted-tree", TREE,
+                 "--trees", os.path.join(d, "data", "trees.nwk"),
+                 "--likelihood-spec", "sparse 0.1"], cwd=sub)
+            dt = cli(["run", "-a", "t136", "--likelihood-spec",
+                      "sparse 0.1",
+                      "--relaxed-molecular-clock", "UncorrelatedLogNormal",
+                      "--iterations", str(args.iterations),
+                      "--chains", str(args.chains),
+                      "--seed", str(args.seed)] + extra, cwd=sub)
+            with open(stamp, "w") as fh:
+                json.dump({"wall_s": dt}, fh)
         tab = ess_table(os.path.join(sub, "t136.params.monitor"))
         # Cross-chain bulk/tail ESS from the run's own diagnostics table
         # (all chains pooled) — the number that matters for throughput.
