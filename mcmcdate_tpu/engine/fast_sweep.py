@@ -893,6 +893,8 @@ class FastSweeps:
         ``plan.specs``; empty when disabled, the precision is not dense,
         or the stacks exceed the memory cap (ranges get priority — their
         dynamic rebuild is the larger share of the sweep)."""
+        self.static_p_active = (False, False)
+        self.static_p_est_gb = 0.0
         if (_STATIC_P_MODE == "0" or not self.use_lik or self.banded):
             return {}, {}
         rng_specs = {
@@ -923,12 +925,17 @@ class FastSweeps:
 
         est_rng = sum(stack_bytes(s.own.shape) for s in rng_specs.values())
         est_pt = sum(stack_bytes(s.d_rows.shape) for s in pt_specs.values())
+        # Record the auto decision (host-side, once per trace) so tools
+        # and users can verify whether the hoist is active at their shape
+        # (tools/phase_budget.py prints it; VERDICT r4 item 4).
+        self.static_p_est_gb = ((est_rng + est_pt) / 1e9)
         if _STATIC_P_MODE != "1":
             if est_rng > _STATIC_P_CAP:
                 rng_specs = {}
                 est_rng = 0
             if est_rng + est_pt > _STATIC_P_CAP:
                 pt_specs = {}
+        self.static_p_active = (bool(rng_specs), bool(pt_specs))
         P_c = self._const("prec", dtype)
         zero = jnp.zeros((), store_dt)
 
