@@ -195,20 +195,27 @@ def test_annealed_cascade_seeding_order():
 
 
 @pytest.mark.slow
-def test_annealed_cascade_rescues_displaced_basin():
-    """VERDICT r4 item 5: on a target whose beta~1 basin is displaced far
-    from the prior mass (narrow univariate MVN at distances ~4x the
-    prior-typical scale), naive parallel init with a short per-stone
-    burn-in demonstrably fails — the high-beta stones never reach the
-    basin, so their mean log likelihood and the stepping-stone log Z come
-    out far below the annealed run's.  The cascade (app/Main.hs:525-543
-    semantics) hands each stone the previous stone's annealed state and
-    recovers the basin with the SAME short burn-in."""
+def test_annealed_cascade_reduces_displaced_basin_bias():
+    """VERDICT r4 item 5, adjudicated by measurement.  The hypothesis was
+    that naive parallel init DEMONSTRABLY FAILS on a displaced-basin
+    target; measured (round 5), it does not catastrophically fail on any
+    univariate displaced target tried — the engine's multiplicative
+    rate/rate-mean scale moves recover magnitude displacement
+    exponentially fast, and even a PATTERN displacement (alternating
+    0.05/2.0 target distances, sd 0.01, unreachable by any global scale)
+    is climbed within a handful of tuned windows.  What remains, and what
+    this test pins, is the cascade's real measured effect: with an
+    ultra-short per-stone burn-in the stepping-stone estimator
+    UNDERESTIMATES log Z when high-beta stones are still climbing
+    (exp(dbeta * loglik) undersampled), and the annealed cascade
+    (app/Main.hs:525-543 semantics) measurably reduces that bias —
+    log Z -9.5 annealed vs -11.5 naive on this fixed-seed target.
+    The seeding order itself is pinned exactly by
+    test_annealed_cascade_seeding_order."""
     t, topo, model0 = _prior_model()
-    rng = np.random.default_rng(7)
     k = topo.n - 2
-    mu = np.full(k, 2.0)          # prior-typical distances are ~0.2-0.8
-    var = np.full(k, 0.0025)      # sd 0.05: narrow basin
+    mu = np.where(np.arange(k) % 2 == 0, 0.05, 2.0)
+    var = np.full(k, 1e-4)
     model = DatingModel(topo=topo,
                         likelihood=mvn.LikelihoodData.univariate(mu, var))
 
@@ -217,8 +224,8 @@ def test_annealed_cascade_rescues_displaced_basin():
     from mcmcdate_tpu.engine.stepping_stone import run_marginal_likelihood
 
     settings = RunSettings(
-        analysis_name="ss3", n_chains=4, seed=9, iterations=200,
-        burn_in=BurnInSettings([5], [10]),
+        analysis_name="ss3", n_chains=4, seed=9, iterations=150,
+        burn_in=BurnInSettings([2], [4]),
     )
     init = init_state(t, topo, dtype=jnp.float32)
     res = {}
@@ -227,13 +234,12 @@ def test_annealed_cascade_rescues_displaced_basin():
             model, init, settings, profile=True, annealed_init=annealed,
             log=lambda *a: None,
         )
-    top_annealed = float(res[True].mean_log_lik_per_point[-1])
-    top_naive = float(res[False].mean_log_lik_per_point[-1])
-    # At the basin the per-dim residual is ~0, so loglik ~ -k/2 log(2 pi
-    # var) ~ +15; stuck far away it is hundreds to thousands below.
-    assert top_annealed > top_naive + 50, (top_annealed, top_naive)
+    # Both reach the basin (top-stone mean loglik ~15.9 of the ~22
+    # optimum) — but the annealed ladder's stones get there EARLIER in
+    # their sampling windows, so the telescoped estimate is measurably
+    # less downward-biased.
     assert (res[True].log_marginal_likelihood
-            > res[False].log_marginal_likelihood + 20), (
+            > res[False].log_marginal_likelihood + 1.0), (
         res[True].log_marginal_likelihood,
         res[False].log_marginal_likelihood,
     )
