@@ -171,6 +171,14 @@ def _add_run_args(p: argparse.ArgumentParser):
                         "invariant — the kernel that walks ALONG the slow "
                         "deep-backbone valley (PERF.md).  Default 0 (off); "
                         "1 recommended at GOE scale")
+    p.add_argument("--fiber-de", type=float, metavar="N",
+                   help="cross-chain fiber differential-evolution rounds "
+                        "per sweep chunk (engine/ensemble.py): an exact "
+                        "collective move along the likelihood fiber that "
+                        "can jump a chain across a posterior mode gap when "
+                        "its donor pair straddles the modes.  N >= 1 runs "
+                        "round(N) rounds; 0 < N < 1 gates one round by a "
+                        "Bernoulli(N).  Default 0 (off); needs >= 4 chains")
     p.add_argument("--chains", type=int, default=4,
                    help="vmapped independent chains (TPU extra; default 4)")
     p.add_argument("--iterations", type=int,
@@ -355,6 +363,7 @@ def _settings(args, continue_mode=False):
         bold_contra=args.bold_contra,
         bold_factor=args.bold_factor,
         fiber_slide=args.fiber_slide,
+        fiber_de=args.fiber_de,
     )
 
 

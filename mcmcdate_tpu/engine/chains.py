@@ -98,6 +98,14 @@ class RunSettings:
     # (fast_sweep.FastSweeps._fiber_slide_move).  None = MCMCDATE_FIBER_SLIDE
     # env default (off).
     fiber_slide: Optional[float] = None
+    # Cross-chain fiber-DE rounds per sweep chunk (--fiber-de): each round
+    # is a red-black differential-evolution move ALONG the likelihood fiber
+    # (engine/ensemble.py) — the collective kernel that can transport a
+    # chain across the deep-backbone mode gap in one step when its donor
+    # pair straddles the modes.  Values >= 1 run round(N) rounds per chunk;
+    # 0 < N < 1 runs one round with probability N.  None = the
+    # MCMCDATE_FIBER_DE env default (off).
+    fiber_de: Optional[float] = None
 
 
 class ChainRunner:
@@ -138,6 +146,21 @@ class ChainRunner:
         self._extra_names = []
         if getattr(self.kern, "fiber_slide_p", 0.0) > 0:
             self._extra_names.append("fiber node-slide")
+        import os as _os
+
+        fde = settings.fiber_de
+        if fde is None:
+            fde = float(_os.environ.get("MCMCDATE_FIBER_DE", "0"))
+        self.fiber_de = float(fde)
+        self._fiber_de_move = None
+        if self.fiber_de > 0 and settings.n_chains >= 4:
+            from .ensemble import make_fiber_de
+
+            dt = jnp.float32 if settings.dtype == "float32" else jnp.float64
+            self._fiber_de_move = make_fiber_de(model, dt)
+            self._extra_names.append("fiber DE")
+            log(f"fiber-DE ensemble phase: {self.fiber_de:g} "
+                f"round(s)/chunk over {settings.n_chains} chains")
         self._extra_accs = {nm: [] for nm in self._extra_names}
         self.dtype = jnp.float32 if settings.dtype == "float32" else jnp.float64
         self.targets = jnp.asarray(table.target_rates(), self.dtype)
@@ -200,32 +223,70 @@ class ChainRunner:
             ages_diag=state.heights[self._diag_idx_dev] * state.height,
         )
 
+    def _fiber_de_phase(self, batch, key):
+        """Apply the configured fiber-DE rounds after a sweep chunk; returns
+        ``(batch, rates)`` with ``rates`` a [rounds] acceptance array (a NaN
+        entry = the Bernoulli gate skipped this chunk)."""
+        move = self._fiber_de_move
+        p = self.fiber_de
+        if p >= 1:
+            rates = []
+            for r in range(int(round(p))):
+                batch, rate = move(batch, jax.random.fold_in(key, r))
+                rates.append(rate)
+            return batch, jnp.stack(rates)
+        k_gate, k_mv = jax.random.split(key)
+
+        def do(b):
+            return move(b, k_mv)
+
+        def skip(b):
+            return b, jnp.asarray(jnp.nan, self.dtype)
+
+        batch, rate = jax.lax.cond(
+            jax.random.bernoulli(k_gate, p), do, skip, batch
+        )
+        return batch, rate[None]
+
     def chunk_fn(self, collect: bool, with_nuts: bool = False):
         """Jitted: run CHUNK sweeps for the whole chain batch.  With NUTS,
         ``eps`` / ``inv_mass`` are traced arguments so per-window adaptation
         never recompiles."""
         coll = self._collect if collect else None
+        with_de = self._fiber_de_move is not None
 
         if with_nuts:
             move = self.nuts.move
 
             def run_nuts(batch, tuning, key, eps, inv_mass):
+                if with_de:
+                    key, k_de = jax.random.split(key)
                 out = self.kern.sweeps(
                     batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll,
                     nuts_move=move, nuts_eps=eps, nuts_inv_mass=inv_mass,
                 )
                 b, lp_pr, lp_lik, acc, tot, outs = out[:6]
+                extras = out[6:]
+                if with_de:
+                    b, de = self._fiber_de_phase(b, k_de)
+                    extras = extras + (de,)
                 return (b, lp_pr, lp_lik, acc, tot,
-                        _slim_outs(outs)) + out[6:]
+                        _slim_outs(outs)) + extras
 
             return jax.jit(run_nuts)
 
         def run(batch, tuning, key):
+            if with_de:
+                key, k_de = jax.random.split(key)
             out = self.kern.sweeps(
                 batch, tuning, key, CHUNK, beta=self.s.beta, collect=coll
             )
             b, lp_pr, lp_lik, acc, tot, outs = out[:6]
-            return (b, lp_pr, lp_lik, acc, tot, _slim_outs(outs)) + out[6:]
+            extras = out[6:]
+            if with_de:
+                b, de = self._fiber_de_phase(b, k_de)
+                extras = extras + (de,)
+            return (b, lp_pr, lp_lik, acc, tot, _slim_outs(outs)) + extras
 
         return jax.jit(run)
 

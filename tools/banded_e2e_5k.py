@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--n-trees", type=int, default=400)
     ap.add_argument("--seed", type=int, default=12)
+    ap.add_argument("--prepare-only", action="store_true",
+                    help="stop after simulate + prepare (host-only "
+                         "phases); re-invoke later to run on the chip")
     args = ap.parse_args()
     d = os.path.abspath(args.out_dir)
     os.makedirs(d, exist_ok=True)
@@ -71,19 +74,32 @@ def main():
 
     from mcmcdate_tpu.utils.simulate import simulate, write_fixture
 
-    rng_seed = args.seed
-    t0 = time.time()
-    sim = simulate(args.taxa, n_trees=args.n_trees, seed=rng_seed,
-                   rate_var=0.02, noise=0.05)
-    write_fixture(sim, os.path.join(d, "data"))
-    print(f"[banded_e2e] simulated {args.taxa} taxa x {args.n_trees} trees "
-          f"in {time.time() - t0:.0f}s", flush=True)
-
     spec = f"banded {args.bandwidth}"
-    t_prep = cli(["prepare", "-a", "b5k",
-                  "--rooted-tree", os.path.join(d, "data", "time.tree"),
-                  "--trees", os.path.join(d, "data", "trees.nwk"),
-                  "--likelihood-spec", spec], cwd=d, log_name="prepare.log")
+    rng_seed = args.seed
+    # The simulate + prepare phases are host-only; allow re-running the
+    # TPU phase on existing prepared data (also lets the host phase be
+    # staged while the chip is busy elsewhere).
+    if os.path.exists(os.path.join(d, "b5k.data")):
+        print("[banded_e2e] reusing existing prepared data", flush=True)
+        sim = simulate(args.taxa, n_trees=1, seed=rng_seed,
+                       rate_var=0.02, noise=0.05)  # truth heights only
+        t_prep = 0.0
+    else:
+        t0 = time.time()
+        sim = simulate(args.taxa, n_trees=args.n_trees, seed=rng_seed,
+                       rate_var=0.02, noise=0.05)
+        write_fixture(sim, os.path.join(d, "data"))
+        print(f"[banded_e2e] simulated {args.taxa} taxa x {args.n_trees} "
+              f"trees in {time.time() - t0:.0f}s", flush=True)
+
+        t_prep = cli(["prepare", "-a", "b5k",
+                      "--rooted-tree", os.path.join(d, "data", "time.tree"),
+                      "--trees", os.path.join(d, "data", "trees.nwk"),
+                      "--likelihood-spec", spec], cwd=d,
+                     log_name="prepare.log")
+    if args.prepare_only:
+        print("[banded_e2e] prepare-only: done", flush=True)
+        return
     # --profile: the short burn-in schedule.  The treelist is sharp
     # (5% noise, 400 trees), so heights pin to the likelihood basin in a
     # few windows; the full 4,930-iteration tuned burn-in is reference

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--bold-contra", type=float, metavar="P",
                     help="occasional-bold contrary kernel probability "
                          "(--bold-contra of run/continue)")
+    ap.add_argument("--fiber-de", type=float, metavar="N",
+                    help="cross-chain fiber-DE rounds per sweep chunk "
+                         "(engine/ensemble.py; the collective mode-gap "
+                         "kernel)")
     ap.add_argument("--fiber-slide", type=float, metavar="P",
                     help="fiber node-slide probability "
                          "(--fiber-slide of run/continue)")
@@ -59,6 +63,9 @@ def main():
                     help="run MC3 (CHAINS cold groups x 4 temperatures); "
                          "use for the deep-backbone mode mixing the plain "
                          "MHG run cannot achieve (tools/goe_modes.py)")
+    ap.add_argument("--prepare-only", action="store_true",
+                    help="stop after simulate + prepare (host-only); "
+                         "re-invoke later for the chip phase")
     ap.add_argument("--reuse-data", metavar="DIR",
                     help="copy goe.data/goe.meantree from a previous "
                          "flagship OUT_DIR instead of re-simulating, so "
@@ -75,6 +82,8 @@ def main():
                         os.path.join(d, f))
         print("[goe_flagship] reusing prepared data from "
               f"{args.reuse_data}", flush=True)
+    elif not args.cont and os.path.exists(os.path.join(d, "goe.data")):
+        print("[goe_flagship] reusing existing prepared data", flush=True)
     elif not args.cont:
         sys.path.insert(0, REPO)
         from mcmcdate_tpu.tree import read_one_newick
@@ -91,6 +100,10 @@ def main():
              "--trees", "data/trees.nwk", "--likelihood-spec", "full"],
             cwd=d)
 
+    if args.prepare_only:
+        print("[goe_flagship] prepare-only: done", flush=True)
+        return
+
     mode = "continue" if args.cont else "run"
     cli([mode, "-a", "goe", "--likelihood-spec", "full",
          "--relaxed-molecular-clock", "UncorrelatedGamma",
@@ -103,7 +116,9 @@ def main():
         + (["--bold-contra", str(args.bold_contra)]
            if args.bold_contra is not None else [])
         + (["--fiber-slide", str(args.fiber_slide)]
-           if args.fiber_slide is not None else []),
+           if args.fiber_slide is not None else [])
+        + (["--fiber-de", str(args.fiber_de)]
+           if args.fiber_de is not None else []),
         cwd=d)
 
     r = subprocess.run(

@@ -60,23 +60,30 @@ def main():
           f"active (ranges, points) = "
           f"{getattr(fast, 'static_p_active', None)}", flush=True)
 
+    # QUICK=1: time only full/points/ranges (the static-P adjudication
+    # needs just these; skips three jit variants on a cold cache).
+    quick = bool(os.environ.get("QUICK"))
+
     # no-glob full sweep: glob tickets return to the sequential fallback
     glob_rows = sorted(set(
         int(r) for g in plan.glob_groups.values() for r in g.rows
     ) | set(int(r) for r in plan.seq_rows))
     ng_rows = np.asarray(glob_rows, np.int32)
-    fast.plan = dc.replace(plan, glob_groups={},
-                           seq_table=_subset_table(table, ng_rows),
-                           seq_rows=ng_rows)
-    t_ng = timeit(fast, batch, tuning, key)
-    print(f"full sweep (no-glob, {len(ng_rows)} seq rows): "
-          f"{t_ng:.3f} s/sweep", flush=True)
+    t_ng = t_seq = float("nan")
+    if not quick:
+        fast.plan = dc.replace(plan, glob_groups={},
+                               seq_table=_subset_table(table, ng_rows),
+                               seq_rows=ng_rows)
+        t_ng = timeit(fast, batch, tuning, key)
+        print(f"full sweep (no-glob, {len(ng_rows)} seq rows): "
+              f"{t_ng:.3f} s/sweep", flush=True)
 
-    # seq-only (current leftover)
-    fast.plan = dc.replace(plan, specs={}, range_specs={}, glob_groups={})
-    t_seq = timeit(fast, batch, tuning, key)
-    print(f"seq-only ({len(plan.seq_table.tickets)} tickets): "
-          f"{t_seq:.3f} s/sweep", flush=True)
+        # seq-only (current leftover)
+        fast.plan = dc.replace(plan, specs={}, range_specs={},
+                               glob_groups={})
+        t_seq = timeit(fast, batch, tuning, key)
+        print(f"seq-only ({len(plan.seq_table.tickets)} tickets): "
+              f"{t_seq:.3f} s/sweep", flush=True)
 
     # points-only
     fast.plan = dc.replace(plan, range_specs={}, glob_groups={},
@@ -94,11 +101,14 @@ def main():
     print(f"ranges-only ({nblk} blocks): {t_rng:.3f} s/sweep", flush=True)
 
     # glob-only
-    fast.plan = dc.replace(plan, specs={}, range_specs={},
-                           seq_table=empty_table, seq_rows=empty_rows)
-    t_glob = timeit(fast, batch, tuning, key)
-    ngl = sum(g.n_tickets for g in plan.glob_groups.values())
-    print(f"glob-only ({ngl} tickets): {t_glob:.3f} s/sweep", flush=True)
+    t_glob = float("nan")
+    if not quick:
+        fast.plan = dc.replace(plan, specs={}, range_specs={},
+                               seq_table=empty_table, seq_rows=empty_rows)
+        t_glob = timeit(fast, batch, tuning, key)
+        ngl = sum(g.n_tickets for g in plan.glob_groups.values())
+        print(f"glob-only ({ngl} tickets): {t_glob:.3f} s/sweep",
+              flush=True)
 
     # per-family glob
     if os.environ.get("PER_FAMILY"):
@@ -112,10 +122,11 @@ def main():
                   f"({1e3 * t1 / grp.n_tickets:.2f} ms/ticket)", flush=True)
 
     fast.plan = plan
-    resid = t_full - (t_seq + t_pts + t_rng + t_glob)
-    print(f"residual (overlap/overhead): {resid:+.3f} s", flush=True)
-    print(f"glob net gain vs seq fallback: {t_ng - t_full:+.3f} s/sweep",
-          flush=True)
+    if not quick:
+        resid = t_full - (t_seq + t_pts + t_rng + t_glob)
+        print(f"residual (overlap/overhead): {resid:+.3f} s", flush=True)
+        print(f"glob net gain vs seq fallback: {t_ng - t_full:+.3f} "
+              f"s/sweep", flush=True)
 
 
 if __name__ == "__main__":
