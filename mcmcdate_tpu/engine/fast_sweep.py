@@ -316,18 +316,14 @@ if _rb_env:
     )
 RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 
-# Hoisted P blocks: each range/point block's P rows (``Prow``) and P
-# sub-block (``Q = P[rows, rows]``) are plan-static, so recomputing them
-# from the [D, D] precision inside every sweep (two D-wide one-hot
-# matmuls — the majority of the ranges- and points-phase MACs) is
-# loop-invariant work.  ``sweeps`` hoists them: ONE bulk row gather per
-# jitted chunk, stored bf16 (the production matmul precision is one bf16
-# pass, so the stored values match what the dynamic matmuls produced) and
-# streamed through the scan as TRACED inputs — never jaxpr constants, so
-# the remote-compile payload limit that killed the host-precomputed
-# variant (PERF.md round-3 negative result, HTTP 413) does not apply.
-#   MCMCDATE_STATIC_P: "auto" (default; on for dense precisions when the
-#   stacks fit the cap), "1" (force on), "0" (off).
+# NOTE (round 5): a "static-P hoist" — gathering each range/point
+# block's plan-static P rows/sub-blocks ONCE per jitted chunk and
+# streaming them through the scans as traced bf16 inputs — lived here in
+# round 4 and was DELETED after measurement (PERF.md "The static-P
+# hoist, adjudicated"): the per-dispatch bulk gather costs one sweep's
+# worth of one-hot matmuls, which cancels the ~11% ranges-phase saving
+# at production chunk sizes, and the ~3 GB resident stacks slow the
+# full sweep by ~7% net.  Third ranges-phase negative.
 # Occasional-bold contrary steps: with probability MCMCDATE_BOLD_P each
 # distance-invariant contrary subtree-scale ticket uses a
 # MCMCDATE_BOLD_FACTOR-times-wider kernel (see _mega_range_contra).
@@ -337,11 +333,6 @@ RB_MAX = max(rb for _, rb in RANGE_BUCKETS)
 BOLD_P = float(os.environ.get("MCMCDATE_BOLD_P", "0.0"))
 BOLD_FACTOR = float(os.environ.get("MCMCDATE_BOLD_FACTOR", "8.0"))
 FIBER_SLIDE = float(os.environ.get("MCMCDATE_FIBER_SLIDE", "0.0"))
-
-_STATIC_P_MODE = os.environ.get("MCMCDATE_STATIC_P", "auto")
-_STATIC_P_CAP = float(
-    os.environ.get("MCMCDATE_STATIC_P_MAX_GB", "6.0")
-) * 1e9
 
 
 def plan_batches(model: DatingModel, table: P.ProposalTable) -> FastPlan:
@@ -882,102 +873,6 @@ class FastSweeps:
         mu = self._const("mu", dtype)
         return self._x_L(d - mu, dtype)
 
-    # -- hoisted P blocks (see _STATIC_P_MODE) ----------------------------
-
-    def _static_p_blocks(self, dtype):
-        """Per-spec stacks ``(Prow [m, R, D], Q [m, R, R])`` of the
-        likelihood-coupled range/point blocks' P rows and P sub-blocks,
-        computed ONCE per jitted call (loop-invariant over sweeps) as
-        traced values from the precision constant.  Returns two dicts
-        ``(ranges, points)`` keyed like ``plan.range_specs`` /
-        ``plan.specs``; empty when disabled, the precision is not dense,
-        or the stacks exceed the memory cap (ranges get priority — their
-        dynamic rebuild is the larger share of the sweep)."""
-        self.static_p_active = (False, False)
-        self.static_p_est_gb = 0.0
-        if (_STATIC_P_MODE == "0" or not self.use_lik or self.banded):
-            return {}, {}
-        rng_specs = {
-            k: s for k, s in self.plan.range_specs.items()
-            if s.kind != P.K_SCALE_SUBTREES_CONTRA
-        }
-        pt_specs = {
-            k: s for k, s in self.plan.specs.items()
-            if k != P.K_SLIDE_NODES_CONTRA
-        }
-        if not rng_specs and not pt_specs:
-            return {}, {}
-        # On TPU the dynamic path's matmuls run one bf16 pass, so bf16
-        # storage reproduces the dynamic values exactly at half the HBM;
-        # elsewhere (CPU equivalence children) matmuls are exact in the
-        # compute dtype, so store in it.
-        tpu_like = jax.default_backend() not in ("cpu",)
-        store_dt = (jnp.bfloat16
-                    if jnp.dtype(dtype) == jnp.float32 and tpu_like
-                    else jnp.dtype(dtype))
-        D = self._dim
-        isz = jnp.dtype(store_dt).itemsize
-
-        def stack_bytes(rows_shape):
-            m = rows_shape[0]
-            R = int(np.prod(rows_shape[1:]))
-            return m * R * (D + R) * isz
-
-        est_rng = sum(stack_bytes(s.own.shape) for s in rng_specs.values())
-        est_pt = sum(stack_bytes(s.d_rows.shape) for s in pt_specs.values())
-        # Record the auto decision (host-side, once per trace) so tools
-        # and users can verify whether the hoist is active at their shape
-        # (tools/phase_budget.py prints it; VERDICT r4 item 4).
-        self.static_p_est_gb = ((est_rng + est_pt) / 1e9)
-        if _STATIC_P_MODE != "1":
-            if est_rng > _STATIC_P_CAP:
-                rng_specs = {}
-                est_rng = 0
-            if est_rng + est_pt > _STATIC_P_CAP:
-                pt_specs = {}
-        self.static_p_active = (bool(rng_specs), bool(pt_specs))
-        P_c = self._const("prec", dtype)
-        zero = jnp.zeros((), store_dt)
-
-        def stacks(rows):
-            """(Prow [m, R, D], Q [m, R, R]) for distance-row index array
-            ``rows [m, R]`` with −1 padding → all-zero rows/columns,
-            matching the dynamic one-hot matmuls exactly."""
-            rf = jnp.asarray(np.clip(rows, 0, None))
-            msk = jnp.asarray(rows >= 0)
-            m, R = rows.shape
-            pr = jnp.take(P_c, rf.reshape(-1), axis=0)
-            pr = pr.reshape(m, R, D).astype(store_dt)
-            pr = jnp.where(msk[..., None], pr, zero)
-            qs = jax.vmap(lambda p, c: p[:, c])(pr, rf)
-            qs = jnp.where(msk[:, None, :], qs, zero)
-            # Every input above is compile-time constant (the precision is
-            # a closed-over device array, the rows numpy), so without a
-            # barrier XLA constant-folds this whole chain into a literal
-            # [m, R, R] stack that ships WITH the compiled program — the
-            # exact payload bomb (HTTP 413, PERF.md round-3 negative) the
-            # traced-hoist design exists to avoid, seen as a >1 s
-            # constant-fold alarm in the round-4 multichip dryrun.  The
-            # barrier forces the gather to run at runtime, once per jitted
-            # call, as designed.
-            return jax.lax.optimization_barrier((pr, qs))
-
-        pos = np.asarray(self.model.topo.internal_pos)
-        rng_out = {}
-        for k, s in rng_specs.items():
-            m = s.own.shape[0]
-            own = s.own.reshape(m, -1)
-            # P is indexed by DISTANCE rows: pos[node], matching the
-            # step's ``d_own = pos[own]`` one-hot selector.
-            rng_out[k] = stacks(np.where(own >= 0, pos[np.clip(own, 0, None)],
-                                         -1))
-        pt_out = {}
-        for k, s in pt_specs.items():
-            m = s.d_rows.shape[0]
-            # d_rows are already distance-row indices.
-            pt_out[k] = stacks(np.asarray(s.d_rows).reshape(m, -1))
-        return rng_out, pt_out
-
     # -- global-move family scans (round 3) -------------------------------
 
     def _glob_step(self, tag, dtype, beta=1.0, beta_prior=1.0):
@@ -1427,15 +1322,9 @@ class FastSweeps:
         return step, nspec
 
     def _mega_point_lik(self, spec: MegaSpec, dtype, beta=1.0,
-                        beta_prior=1.0, static_pq=False):
+                        beta_prior=1.0):
         """Likelihood-coupled point batch (slides / branch-rate scales) with
-        the exact sequential-correction accept scan.
-
-        ``static_pq``: the step's P rows (``Prow``) and P sub-block
-        (``Pblk``) are plan-static — with it set, they arrive precomputed
-        in the scan inputs (hoisted out of the sweep loop by
-        :meth:`_static_p_blocks`) instead of being rebuilt from the [D, D]
-        precision every sweep."""
+        the exact sequential-correction accept scan."""
         model = self.model
         is_branch = spec.kind == P.K_SCALE_BRANCH_RATE
         use_lik = self.use_lik
@@ -1591,12 +1480,8 @@ class FastSweeps:
                 # zG = the gathered z view — updated INCREMENTALLY between
                 # sub-blocks through Pblk so z itself is touched only once
                 # at the end (add-form scatter of all accepted deltas).
-                if static_pq:
-                    Prow = sx["Prow"]                  # [B*KD, D] hoisted
-                    Pblk = sx["Pblk"]                  # [B*KD, B*KD]
-                else:
-                    Prow = self._x_P(OHB, dtype)               # [B*KD, D]
-                    Pblk = Prow @ OHB.T                        # [B*KD, B*KD]
+                Prow = self._x_P(OHB, dtype)                   # [B*KD, D]
+                Pblk = Prow @ OHB.T                            # [B*KD, B*KD]
                 Pblk4 = Pblk.reshape(B, kd, B, kd)
                 zG = z @ OHB.T                                 # [C, B*KD]
                 accept = jnp.zeros((C, B), bool)
@@ -1808,7 +1693,7 @@ class FastSweeps:
         return step, nspec
 
     def _mega_range_lik(self, spec: RangeSpec, dtype, beta=1.0,
-                        beta_prior=1.0, static_pq=False):
+                        beta_prior=1.0):
         """Sub-block of likelihood-coupled subtree scales: ultrametric
         (Ultrametric.hs:126-188) or rate-tree (Unconstrained.hs:95-137),
         in the transposed ``[param, chains]`` layout.
@@ -1818,12 +1703,6 @@ class FastSweeps:
         sign-flipped boundary row), so pairwise cross terms reduce to
         quadratics in gathered P blocks; a sequential accept scan applies
         the exact corrections.
-
-        ``static_pq``: the block's P rows (``Prow``) and P sub-block (``Q``)
-        are plan-static — with it set, they arrive precomputed in the scan
-        inputs (hoisted out of the sweep loop by :meth:`_static_p_blocks`,
-        ~40% of the step's matmul work) instead of being rebuilt from the
-        [D, D] precision every sweep.
         """
         model = self.model
         topo = model.topo
@@ -1964,12 +1843,8 @@ class FastSweeps:
                 OHD = OHD0
                 zg = (OHD @ zT).reshape(S_n, rb, C)
                 v = jnp.sum(g * zg, axis=1)             # [S, C]
-                if static_pq:
-                    Prow = sx["Prow"]                    # [S*rb, D] hoisted
-                    Q = sx["Q"].reshape(S_n, rb, S_n, rb)
-                else:
-                    Prow = self._x_P(OHD, dtype)         # [S*rb, D]
-                    Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
+                Prow = self._x_P(OHD, dtype)             # [S*rb, D]
+                Q = (Prow @ OHD.T).reshape(S_n, rb, S_n, rb)
                 # G[a, b, c] = g_a' P g_b per chain; the diagonal is the
                 # self term gamma_b = g_b' P g_b.
                 G = jnp.einsum("aic,aibj,bjc->abc", g, Q, g)
@@ -2269,10 +2144,6 @@ class FastSweeps:
         P_orig = self.table.n_proposals
         P_seq = self.plan.seq_table.n_proposals
 
-        # Point/range blocks' static P rows/sub-blocks are hoisted out of
-        # the sweep loop (one bulk gather per jitted call) and streamed
-        # through the scans as traced inputs — see _static_p_blocks.
-        rng_static, pt_static = self._static_p_blocks(dtype)
         mega_steps = []
         for k, spec in self.plan.specs.items():
             if k == P.K_SLIDE_NODES_CONTRA:
@@ -2281,12 +2152,9 @@ class FastSweeps:
                                                           beta_prior)
                 )
             else:
-                st = pt_static.get(k)
                 step, nspec = self._mega_point_lik(
-                    spec, dtype, beta, beta_prior, static_pq=st is not None
+                    spec, dtype, beta, beta_prior
                 )
-                if st is not None:
-                    nspec = dict(nspec, Prow=st[0], Pblk=st[1])
                 mega_steps.append(("lik", step, nspec))
         # Range steps run in the transposed [param, chains] layout.
         range_steps = []
@@ -2296,12 +2164,9 @@ class FastSweeps:
                     self._mega_range_contra(spec, dtype, beta_prior)
                 )
             else:
-                st = rng_static.get(k)
                 step, nspec = self._mega_range_lik(
-                    spec, dtype, beta, beta_prior, static_pq=st is not None
+                    spec, dtype, beta, beta_prior
                 )
-                if st is not None:
-                    nspec = dict(nspec, Prow=st[0], Q=st[1])
                 range_steps.append((step, nspec))
         # Global-move families (specialized scans; see GlobGroup).
         glob_steps = []

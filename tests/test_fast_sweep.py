@@ -225,45 +225,6 @@ print("OK calibrated", err.max())
 
 
 @pytest.mark.fast_guard
-def test_static_p_blocks_exact():
-    """The hoisted range/point-phase P blocks (``MCMCDATE_STATIC_P``,
-    fast_sweep._static_p_blocks) must reproduce the dynamic per-step
-    one-hot matmuls EXACTLY on CPU: the static path gathers the same
-    precision rows the dynamic matmuls select, so states, acceptance
-    counts, and carried log-posterior are bit-identical for the same
-    key."""
-    out = _run_child(COMMON + """
-import os
-model, table, batch, tuning, topo = build(12, "full", seed=11)
-
-from mcmcdate_tpu.engine import fast_sweep as fs
-
-def run_mode(mode):
-    fs._STATIC_P_MODE = mode
-    fast = fs.FastSweeps(model, table)
-    assert fast.plan.range_specs, "no range batches at this shape"
-    assert fast.plan.specs, "no point batches at this shape"
-    run = jax.jit(lambda b, tu, k2: fast.sweeps(b, tu, k2, 10))
-    key = jax.random.PRNGKey(5)
-    b = batch
-    for it in range(3):
-        key, k1 = jax.random.split(key)
-        b, lp, ll, acc, tot, _ = run(b, tuning, k1)
-    return (np.asarray(b.heights), np.asarray(b.rates),
-            np.asarray(acc), np.asarray(lp + ll))
-
-h1, r1, a1, lp1 = run_mode("1")
-h0, r0, a0, lp0 = run_mode("0")
-assert np.array_equal(a1, a0), "acceptance counts differ"
-assert np.array_equal(h1, h0) and np.array_equal(r1, r0), "states differ"
-assert np.array_equal(lp1, lp0), "carried log posterior differs"
-assert a1.sum() > 0, "nothing accepted"
-print("OK static range", int(a1.sum()))
-""", timeout=900)
-    assert "OK static range" in out
-
-
-@pytest.mark.fast_guard
 def test_bold_contra_invariance():
     """The occasional-bold contrary mixture (MCMCDATE_BOLD_P,
     fast_sweep.BOLD_P) must leave the stationary distribution unchanged:

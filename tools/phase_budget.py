@@ -55,10 +55,6 @@ def main():
 
     t_full = timeit(fast, batch, tuning, key)
     print(f"full sweep (glob): {t_full:.3f} s/sweep", flush=True)
-    print(f"static-P: mode {os.environ.get('MCMCDATE_STATIC_P', 'auto')}, "
-          f"est {getattr(fast, 'static_p_est_gb', float('nan')):.2f} GB, "
-          f"active (ranges, points) = "
-          f"{getattr(fast, 'static_p_active', None)}", flush=True)
 
     # QUICK=1: time only full/points/ranges (the static-P adjudication
     # needs just these; skips three jit variants on a cold cache).
