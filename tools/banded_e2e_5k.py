@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--prepare-only", action="store_true",
                     help="stop after simulate + prepare (host-only "
                          "phases); re-invoke later to run on the chip")
+    ap.add_argument("--continue", dest="cont", action="store_true",
+                    help="resume sampling from the saved checkpoint "
+                         "(e.g. after a backend crash) instead of a "
+                         "fresh run")
+    ap.add_argument("--check-only", action="store_true",
+                    help="skip the run; evaluate recovery on whatever "
+                         "monitor rows exist (e.g. rows streamed before "
+                         "a backend crash)")
     args = ap.parse_args()
     d = os.path.abspath(args.out_dir)
     os.makedirs(d, exist_ok=True)
@@ -104,11 +112,17 @@ def main():
     # (5% noise, 400 trees), so heights pin to the likelihood basin in a
     # few windows; the full 4,930-iteration tuned burn-in is reference
     # parity, not a requirement of this recovery check.
-    t_run = cli(["run", "-a", "b5k", "--likelihood-spec", spec,
-                 "--relaxed-molecular-clock", "UncorrelatedGamma",
-                 "--chains", str(args.chains), "--profile",
-                 "--iterations", str(args.iterations),
-                 "--seed", str(args.seed)], cwd=d, log_name="run.log")
+    if args.check_only:
+        t_run = 0.0
+        print("[banded_e2e] check-only: evaluating existing monitor rows",
+              flush=True)
+    else:
+        mode = "continue" if args.cont else "run"
+        t_run = cli([mode, "-a", "b5k", "--likelihood-spec", spec,
+                     "--relaxed-molecular-clock", "UncorrelatedGamma",
+                     "--chains", str(args.chains), "--profile",
+                     "--iterations", str(args.iterations),
+                     "--seed", str(args.seed)], cwd=d, log_name="run.log")
 
     # Posterior node-age recovery vs simulation truth (the
     # test_reference_fixtures bars, generalized).

@@ -74,10 +74,14 @@ def main(out_dir, an="goe", node="node900", gammas=(1.0, 0.5)):
 
     lp_prior = jax.jit(jax.vmap(model.log_prior))
 
-    def batch_lp(hs, rs):
+    def batch_lp(hs, rs, idx=None):
+        """Prior of (hs, rs) trial states; ``idx`` gathers each trial's
+        scalar fields (birth/death/height/...) from its source chain."""
         import dataclasses
         sts = jax.tree.map(
             lambda x: jnp.asarray(np.asarray(x, np.float32)), state)
+        if idx is not None:
+            sts = jax.tree.map(lambda x: x[jnp.asarray(idx)], sts)
         sts = dataclasses.replace(
             sts, heights=jnp.asarray(hs, jnp.float32),
             rates=jnp.asarray(rs, jnp.float32))
@@ -110,7 +114,7 @@ def main(out_dir, an="goe", node="node900", gammas=(1.0, 0.5)):
                         np.sum(np.log(np.where(t1[:, 1:] > 0,
                                                ratio[:, 1:], 1.0)), axis=1),
                         -np.inf)
-        lp1 = batch_lp(hp, rp)
+        lp1 = batch_lp(hp, rp, ii)
         dlp = np.where(valid, lp1 - lp0_full[ii] + logj, -np.inf)
         cross = hi_mask[aa] != hi_mask[bb]
         for kind, sel in (("cross", cross), ("within", ~cross)):
